@@ -1,0 +1,191 @@
+"""Reverse-process samplers compiled as single on-device `lax.scan` programs.
+
+Capability parity with /root/reference/diffusion_sampling_algorithms.py, but
+where the reference runs a Python loop with a host round-trip per denoising
+step (one model call + progress-bar print per step, :21-63), these compile the
+entire T-step trajectory into one XLA program: the step vector is precomputed,
+schedule parameters are gathered in-register, and `jax.random` keys are
+threaded through the scan carry. No host transfers until the final image.
+
+Algorithm parity notes (all asserted in tests/test_samplers.py):
+  - ddpm_sample: sigma_t = sqrt(beta_t) (fixed-small variance choice, :48);
+    z ~ N(0,I) only when t > 1 (:42-45);
+    x_{t-1} = (1/sqrt(a))(x_t - ((1-a)/sqrt(1-abar)) eps_hat) + sigma z (:51-55).
+  - ddim_sample: step list range(max, min-1, -size) with min appended if
+    missed (:79-82); eta = 0 by default (deterministic, :84-86); final visit
+    returns x0_approx when the last step is exactly 1, else x_t (:146-148).
+  - cold_sample: model predicts x0; the injected `noise` tensor is held fixed
+    for the whole trajectory (:155,:196,:204); improved cold update
+    x_{t-1} = x_t - D(x0_hat, t) + D(x0_hat, t-1) (:193-208); returns the
+    final x0_hat (:217).
+
+`model_fn(x, t, labels)` is any callable closing over params — typically
+`lambda x, t, l: net.apply({"params": p}, x, t, l)`. Conditional images are
+channel-concatenated on the last (C) axis, mirroring the reference's dim=1
+concat in NCHW (:28-31).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+ModelFn = Callable[..., jnp.ndarray]
+
+
+def ddim_step_list(min_noise: int, max_noise: int, step_size: int) -> List[int]:
+    """Skip-step schedule with the reference's append-min rule
+    (diffusion_sampling_algorithms.py:79-82, :164-168)."""
+    steps = list(range(max_noise, min_noise - 1, -step_size))
+    if min_noise not in steps:
+        steps = steps + [min_noise]
+    return steps
+
+
+def _concat_cond(x: jnp.ndarray, cond_img: Optional[jnp.ndarray]) -> jnp.ndarray:
+    if cond_img is None:
+        return x
+    return jnp.concatenate([x, cond_img.astype(x.dtype)], axis=-1)
+
+
+def ddpm_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
+                rng: Optional[jax.Array] = None,
+                min_noise: int = 1, max_noise: int = 1000,
+                cond_img: Optional[jnp.ndarray] = None,
+                labels: Optional[jnp.ndarray] = None,
+                zs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DDPM ancestral sampling, whole trajectory in one scan.
+
+    `zs` optionally injects the per-step gaussian noise (shape
+    (num_steps, *x.shape)) for deterministic parity tests; otherwise noise is
+    drawn from `rng` inside the scan.
+    """
+    steps = jnp.arange(max_noise, min_noise - 1, -1, dtype=jnp.int32)
+    num_steps = steps.shape[0]
+    if zs is None:
+        if rng is None:
+            raise ValueError("ddpm_sample needs rng (or injected zs)")
+        keys = jax.random.split(rng, num_steps)
+        xs = (steps, keys)
+    else:
+        xs = (steps, zs)
+
+    def body(x, scan_x):
+        t, noise_src = scan_x
+        tvec = t[None]
+        beta, alpha, alpha_bar = schedule.timestep_params(tvec)
+        eps_hat = model_fn(_concat_cond(x, cond_img), tvec, labels)
+        eps_hat = eps_hat.astype(jnp.float32)
+        if zs is None:
+            z = jax.random.normal(noise_src, x.shape, jnp.float32)
+        else:
+            z = noise_src.astype(jnp.float32)
+        sigma = beta.astype(jnp.float32) ** 0.5
+        scale_1 = 1.0 / alpha.astype(jnp.float32) ** 0.5
+        scale_2 = (1.0 - alpha.astype(jnp.float32)) / (
+            (1.0 - alpha_bar.astype(jnp.float32)) ** 0.5)
+        x = x.astype(jnp.float32)
+        x_new = scale_1 * (x - scale_2 * eps_hat)
+        # z only when t > 1 (diffusion_sampling_algorithms.py:42-45).
+        x_new = x_new + jnp.where(t > 1, sigma, 0.0) * z
+        return x_new, None
+
+    x_out, _ = lax.scan(body, x_t.astype(jnp.float32), xs)
+    return x_out
+
+
+def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
+                min_noise: int = 1, max_noise: int = 1000,
+                ddim_step_size: int = 10,
+                cond_img: Optional[jnp.ndarray] = None,
+                labels: Optional[jnp.ndarray] = None,
+                eta: float = 0.0,
+                rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """DDIM sampling (eta=0 deterministic by default, matching the reference's
+    hardcoded choice, :84-86)."""
+    steps = ddim_step_list(min_noise, max_noise, ddim_step_size)
+    if eta != 0.0 and rng is None:
+        raise ValueError("eta > 0 needs rng")
+
+    t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)
+    if eta != 0.0:
+        keys = jax.random.split(rng, max(len(steps) - 1, 1))
+    else:
+        keys = jnp.zeros((max(len(steps) - 1, 1), 2), dtype=jnp.uint32)
+
+    def body(x, scan_x):
+        pair, key = scan_x
+        t, tm1 = pair[0][None], pair[1][None]
+        eps_hat = model_fn(_concat_cond(x, cond_img), t, labels)
+        eps_hat = eps_hat.astype(jnp.float32)
+        _, _, abar_t = schedule.timestep_params(t)
+        abar_t = abar_t.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        x0_approx = (x - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+        _, _, abar_tm1 = schedule.timestep_params(tm1)
+        abar_tm1 = abar_tm1.astype(jnp.float32)
+        if eta != 0.0:
+            sigma = eta * (((1.0 - abar_tm1) / (1.0 - abar_t)) ** 0.5
+                           * (1.0 - abar_t / abar_tm1) ** 0.5)
+            noise = jax.random.normal(key, x.shape, jnp.float32)
+        else:
+            sigma = jnp.zeros_like(abar_t)
+            noise = 0.0
+        x_new = (abar_tm1 ** 0.5 * x0_approx
+                 + (1.0 - abar_tm1 - sigma ** 2) ** 0.5 * eps_hat
+                 + sigma * noise)
+        return x_new, None
+
+    if len(steps) > 1:
+        x_t, _ = lax.scan(body, x_t.astype(jnp.float32), (t_pairs, keys))
+    else:
+        x_t = x_t.astype(jnp.float32)
+
+    # Final visited step: predict eps and x0 once more (the loop's last
+    # iteration computes x0 but performs no update, :114; :146-148).
+    t_last = jnp.array([steps[-1]], dtype=jnp.int32)
+    eps_hat = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
+    eps_hat = eps_hat.astype(jnp.float32)
+    _, _, abar_t = schedule.timestep_params(t_last)
+    abar_t = abar_t.astype(jnp.float32)
+    x0_approx = (x_t - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+    if steps[-1] == 1:  # static python condition (step list is static)
+        return x0_approx
+    return x_t
+
+
+def cold_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray,
+                noise: jnp.ndarray, *,
+                min_noise: int = 1, max_noise: int = 1000,
+                skip_step_size: int = 10,
+                cond_img: Optional[jnp.ndarray] = None,
+                labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Cold-diffusion sampling with an x0-predicting model; `noise` is the
+    trajectory-shared degradation noise (:155)."""
+    steps = ddim_step_list(min_noise, max_noise, skip_step_size)
+    noise = noise.astype(jnp.float32)
+
+    t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)
+
+    def body(x, pair):
+        t, tm1 = pair[0][None], pair[1][None]
+        x0_hat = model_fn(_concat_cond(x, cond_img), t, labels)
+        x0_hat = x0_hat.astype(jnp.float32)
+        x_t_hat = schedule.q_sample(x0_hat, t, noise)
+        x_tm1_hat = schedule.q_sample(x0_hat, tm1, noise)
+        # Improved cold update (:193-208).
+        x_new = x.astype(jnp.float32) - x_t_hat + x_tm1_hat
+        return x_new, None
+
+    if len(steps) > 1:
+        x_t, _ = lax.scan(body, x_t.astype(jnp.float32), t_pairs)
+    else:
+        x_t = x_t.astype(jnp.float32)
+
+    # Final step: return the model's reconstruction (:217).
+    t_last = jnp.array([steps[-1]], dtype=jnp.int32)
+    x0_hat = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
+    return x0_hat.astype(jnp.float32)
