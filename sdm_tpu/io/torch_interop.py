@@ -155,9 +155,11 @@ def merge_partial_params(own_params: Dict[str, Any], loaded: Dict[str, Any],
 
 
 def _to_numpy(value) -> np.ndarray:
+    # Always copy: torch's .numpy() aliases the live parameter storage, and a
+    # later optimizer step would silently mutate the converted array.
     if hasattr(value, "detach"):
-        return value.detach().cpu().numpy()
-    return np.asarray(value)
+        return value.detach().cpu().numpy().copy()
+    return np.array(value)
 
 
 def _flatten(tree: Dict[str, Any], prefix: Tuple[str, ...] = ()) -> Dict[Tuple[str, ...], Any]:

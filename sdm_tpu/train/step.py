@@ -1,0 +1,146 @@
+"""The jitted training step: q_sample -> forward -> MSE -> grad -> Adam,
+fused into one XLA program, data-parallel over a device mesh.
+
+Where the reference runs q_sample / forward / loss under fp16 autocast with a
+GradScaler and a host sync every step (/root/reference/train_diffusion.py:
+333-366), this fuses the whole step — including the forward-process noising
+and the optimizer update — into a single `jax.jit` program. Batches arrive
+sharded on the mesh "data" axis; XLA inserts the gradient all-reduce (psum
+over ICI) automatically because params are replicated. bf16 compute needs no
+loss scaling; the NaN guard lives host-side in the loop (mirroring
+train_diffusion.py:354-355) on the asynchronously-fetched loss.
+
+Objectives (SURVEY.md §2.5):
+  EPS          eps-prediction, target = noise              (train_diffusion.py:350-352)
+  X0           x0-prediction, target = clean image         (train_noise_cold_diffusion.py:340-342)
+  RESIDUAL_X0  SR residual, target = x_hr - up(down(x_hr)) (train_SR_diffusion.py:350-374)
+
+Conditioning:
+  labels    — vector conditioning through the model's third arg;
+  cond_img  — channel-concat image (doodle: train_doodle_diffusion.py:304);
+  SR        — LR image q_sampled at fixed cond_t with the SAME eps as the HR
+              branch, channel-concatenated (train_SR_diffusion.py:354-366).
+
+t is drawn per-sample as randint(min_noise_step, max_actual_noise_step) with
+EXCLUSIVE high (train_diffusion.py:321-326) — max_actual < max_noise is the
+ensemble (eDiff-I style) range-specialization knob.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from sdm_tpu.enums import Objective
+from sdm_tpu.ops.resize import area_resize
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray   # global steps completed (reference "global_steps")
+    params: Any
+    opt_state: Any
+
+
+def reference_lr_schedule(base_lr: float, lr_steps: int) -> Callable:
+    """LR halving every `lr_steps` global steps, matching the reference's
+    post-step halving (train_diffusion.py:368-371): step s uses
+    base_lr * 0.5 ** max(0, (s-1) // lr_steps)."""
+    def schedule(count):
+        exponent = jnp.maximum(0, (count - 1) // lr_steps)
+        return base_lr * jnp.power(0.5, exponent.astype(jnp.float32))
+    return schedule
+
+
+def make_optimizer(base_lr: float, lr_steps: int) -> optax.GradientTransformation:
+    """Adam(betas=(0.5, 0.999), eps=1e-8) as in train_diffusion.py:214-217."""
+    return optax.adam(reference_lr_schedule(base_lr, lr_steps),
+                      b1=0.5, b2=0.999, eps=1e-8)
+
+
+def create_train_state(params, tx: optax.GradientTransformation,
+                       step: int = 0) -> TrainState:
+    return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
+                      opt_state=tx.init(params))
+
+
+def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformation,
+                    *, objective: Objective,
+                    min_noise_step: int = 1,
+                    max_actual_noise_step: int = 1000,
+                    flip_imgs: bool = False,
+                    cond_t: Optional[int] = None,
+                    lr_dim: Optional[int] = None) -> Callable:
+    """Build the fused train step.
+
+    apply_fn(params, x, t, labels) -> model output.
+    batch: {"image": (N,H,W,C) [, "labels": (N,D)] [, "cond_img": (N,H,W,C)]}.
+    Returns (new_state, metrics) with metrics["loss"] as an fp32 scalar.
+    """
+    if objective == Objective.RESIDUAL_X0:
+        if cond_t is None or lr_dim is None:
+            raise ValueError("RESIDUAL_X0 objective needs cond_t and lr_dim")
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        images = batch["image"]
+        labels = batch.get("labels")
+        cond_img = batch.get("cond_img")
+        n = images.shape[0]
+
+        t_key, eps_key, flip_key = jax.random.split(rng, 3)
+
+        if flip_imgs:
+            # Per-image random horizontal flip, p=0.5 (train_diffusion.py:312-314)
+            # done on-device (W is axis 2 in NHWC) instead of per-image host
+            # lambdas — distributionally identical, fully fused.
+            flip = jax.random.bernoulli(flip_key, 0.5, (n,))
+            images = jnp.where(flip[:, None, None, None],
+                               images[:, :, ::-1, :], images)
+
+        # Exclusive-high randint, per-sample (train_diffusion.py:321-326).
+        # Tests may inject "t"/"eps" through the batch for cross-framework
+        # single-step parity checks.
+        if "t" in batch:
+            t = batch["t"].astype(jnp.int32)
+        else:
+            t = jax.random.randint(t_key, (n,), min_noise_step,
+                                   max_actual_noise_step, dtype=jnp.int32)
+        if "eps" in batch:
+            eps = batch["eps"].astype(jnp.float32)
+        else:
+            eps = jax.random.normal(eps_key, images.shape, jnp.float32)
+        images_f = images.astype(jnp.float32)
+
+        if objective == Objective.RESIDUAL_X0:
+            h, w = images.shape[1], images.shape[2]
+            lr_up = area_resize(area_resize(images_f, lr_dim, lr_dim), h, w)
+            target = images_f - lr_up
+            x_t = schedule.q_sample(images_f, t, eps)
+            cond_t_vec = jnp.array([cond_t], dtype=jnp.int32)
+            x_t_lr = schedule.q_sample(lr_up, cond_t_vec, eps)
+            x_in = jnp.concatenate([x_t, x_t_lr], axis=-1)
+        else:
+            x_t = schedule.q_sample(images_f, t, eps)
+            x_in = x_t
+            if cond_img is not None:
+                x_in = jnp.concatenate([x_in, cond_img.astype(x_in.dtype)],
+                                       axis=-1)
+            target = eps if objective == Objective.EPS else images_f
+
+        def loss_fn(params):
+            pred = apply_fn(params, x_in, t, labels)
+            return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=new_opt_state)
+        return new_state, {"loss": loss}
+
+    return train_step
