@@ -1,0 +1,112 @@
+"""Datasets reproducing the reference's cv2 loading semantics, NHWC-native.
+
+Capability parity with /root/reference/custom_dataset/ (ImageDataset,
+ConditionalImgDataset, DoodleImgDataset): cv2.imread (note: **BGR** channel
+order, deliberately preserved — the plot writer un-permutes it exactly like
+the reference, utils/utils.py:41-42), scaled to [-1, 1] via (x - 127.5)/127.5.
+Unlike the reference there is no CHW permute: batches stay HWC/NHWC, the
+TPU-native layout.
+
+Labelled datasets read the reference's TinyDB JSON files directly
+(sdm_tpu/data/tinydb_compat.py) and shuffle once at construction, as the
+reference does (conditional_img_dataset.py:28).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from sdm_tpu.data.tinydb_compat import read_tables
+
+
+def _imread_norm(path: str) -> np.ndarray:
+    import cv2
+    img = cv2.imread(path)
+    if img is None:
+        raise FileNotFoundError(f"cv2 failed to read image: {path}")
+    return ((img.astype(np.float32) - 127.5) / 127.5)  # HWC, BGR, [-1,1]
+
+
+class ImageDataset:
+    """Plain list-of-paths image dataset (img_dataset.py:10-39)."""
+
+    def __init__(self, img_paths: Sequence[str] = (), return_filepaths: bool = False):
+        self.img_paths = list(img_paths)
+        self.return_filepaths = return_filepaths
+
+    def __len__(self) -> int:
+        return len(self.img_paths)
+
+    def __getitem__(self, index: int):
+        path = self.img_paths[index]
+        img = _imread_norm(path)
+        if self.return_filepaths:
+            return {"image": img, "path": path}
+        return {"image": img}
+
+
+class ConditionalImgDataset:
+    """TinyDB-backed labelled dataset (conditional_img_dataset.py:14-64):
+    table `Data` rows carry `filename` + one float field per label name from
+    table `Labels`."""
+
+    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None):
+        tables = read_tables(dataset_path)
+        data_rows = tables.get("Data", [])
+        if len(data_rows) <= 0:
+            raise Exception("No data found in Data table.")
+        label_rows = tables.get("Labels", [])
+        if len(label_rows) <= 0:
+            raise Exception("No data found in Labels table.")
+        self.all_labels: List[str] = label_rows[0]["labels"]
+        rng = random.Random(seed)
+        rng.shuffle(data_rows)  # initial shuffle (conditional_img_dataset.py:28)
+        self.dataset: List[Tuple[str, List[float]]] = [
+            (row["filename"], [float(row[lbl]) for lbl in self.all_labels])
+            for row in data_rows]
+
+    def get_labels(self) -> List[str]:
+        return self.all_labels
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        path, labels = self.dataset[index]
+        return {"image": _imread_norm(path),
+                "labels": np.asarray(labels, dtype=np.float32)}
+
+
+class DoodleImgDataset:
+    """TinyDB-backed image/conditional-image pairs (doodle_dataset.py:14-65):
+    `Data` rows map `filename` -> cond-image path stored under the first
+    label name."""
+
+    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None):
+        tables = read_tables(dataset_path)
+        data_rows = tables.get("Data", [])
+        if len(data_rows) <= 0:
+            raise Exception("No data found in Data table.")
+        label_rows = tables.get("Labels", [])
+        if len(label_rows) <= 0:
+            raise Exception("No data found in Labels table.")
+        self.all_labels: List[str] = label_rows[0]["labels"]
+        rng = random.Random(seed)
+        rng.shuffle(data_rows)
+        label = self.all_labels[0]
+        self.dataset: List[Tuple[str, str]] = [
+            (row["filename"], row[label]) for row in data_rows]
+
+    def get_labels(self) -> List[str]:
+        return self.all_labels
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    def __getitem__(self, index: int):
+        img_path, cond_path = self.dataset[index]
+        return {"image": _imread_norm(img_path),
+                "cond_img": _imread_norm(cond_path)}

@@ -154,6 +154,172 @@ def merge_partial_params(own_params: Dict[str, Any], loaded: Dict[str, Any],
     return _unflatten(out)
 
 
+# ---------------------------------------------------------------------------
+# Optimizer (Adam) state interop.
+#
+# torch serializes optimizer state keyed by *parameter index* in
+# net.parameters() order, which follows module attribute registration order.
+# The ranks below encode the reference U_Net's registration order
+# (U_Net.py:49-130 and custom_layers.py) so we can reproduce that index
+# order from a flax param tree without instantiating the torch model.
+# ---------------------------------------------------------------------------
+
+_ORDER_RANK = {
+    # U_Net (U_Net.py:49-130)
+    "cond_emb": 0, "in_layer": 1, "down_layers": 2, "middle_layer": 3,
+    "up_layers": 4, "out_layers": 5,
+    # ConditionalEmbedding (custom_layers.py:59-80)
+    "time_layer": 0, "cond_layer": 1,
+    # UNetBlock (custom_layers.py:309-334)
+    "res_layers": 0, "attn_layers": 1, "out_layer": 2,
+    # ResidualBlock (custom_layers.py:261-280)
+    "conv_block_1": 0, "conv_block_2": 1, "shortcut": 2,
+    # UNet_ConvBlock (custom_layers.py:223-238)
+    "conv_layer": 0, "adagn": 1,
+    # AdaGN (custom_layers.py:30-33)
+    "y_scale": 0, "y_shift": 1, "group_norm": 2,
+    # AttentionBlock (custom_layers.py:113-119)
+    "norm": 0, "projection": 1, "output": 2,
+    # leaves: weight before bias
+    "kernel": 0, "scale": 0, "bias": 1,
+}
+
+
+def _component_key(comp: str):
+    m = _SEQ_RE.match(comp)
+    if m:
+        return (_ORDER_RANK[m.group(1)], int(m.group(2)))
+    return (_ORDER_RANK[comp], 0)
+
+
+def torch_param_order(params: Dict[str, Any]):
+    """Flax param paths sorted in torch `net.parameters()` order."""
+    flat = _flatten(params)
+    return sorted(flat.keys(), key=lambda path: tuple(_component_key(c) for c in path))
+
+
+def _transpose_like_param(arr: np.ndarray, path: Tuple[str, ...],
+                          to_torch: bool) -> np.ndarray:
+    """Apply the same layout transform to a moment tensor as to its param."""
+    module_parts, leaf = path[:-1], path[-1]
+    if leaf == "kernel":
+        if arr.ndim == 4:
+            if _is_conv_transpose(tuple(module_parts)):
+                return arr.transpose(2, 3, 0, 1)
+            return arr.transpose(3, 2, 0, 1) if to_torch else arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 2:
+            return arr.transpose(1, 0)
+    return arr
+
+
+def optax_adam_to_torch(opt_state, params: Dict[str, Any], lr: float) -> Dict[str, Any]:
+    """Convert an optax.adam state into a torch.optim.Adam state_dict
+    (betas=(0.5,0.999), matching train_diffusion.py:214-217) so the reference
+    can resume from our checkpoints with load_diffusion_optim=True."""
+    import torch
+
+    adam_state = _find_adam_state(opt_state)
+    count = int(np.asarray(adam_state.count))
+    mu_flat = _flatten(_to_plain(adam_state.mu))
+    nu_flat = _flatten(_to_plain(adam_state.nu))
+    order = torch_param_order(params)
+
+    state = {}
+    for idx, path in enumerate(order):
+        state[idx] = {
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.from_numpy(np.ascontiguousarray(
+                _transpose_like_param(np.asarray(mu_flat[path], np.float32),
+                                      path, to_torch=True))),
+            "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(
+                _transpose_like_param(np.asarray(nu_flat[path], np.float32),
+                                      path, to_torch=True))),
+        }
+    return {
+        "state": state,
+        "param_groups": [{
+            "lr": float(lr), "betas": (0.5, 0.999), "eps": 1e-8,
+            "weight_decay": 0, "amsgrad": False, "maximize": False,
+            "foreach": None, "capturable": False, "differentiable": False,
+            "fused": None, "params": list(range(len(order))),
+        }],
+    }
+
+
+def torch_adam_to_optax(torch_sd: Dict[str, Any], params: Dict[str, Any],
+                        template_opt_state):
+    """Load a torch Adam state_dict (reference checkpoint "optimizer" entry)
+    into an optax.adam state matching `params`' tree structure."""
+    order = torch_param_order(params)
+    state = torch_sd["state"]
+    # torch may key state with int or str indices.
+    get = lambda i: state[i] if i in state else state[str(i)]
+
+    mu_flat, nu_flat = {}, {}
+    count = 0
+    for idx, path in enumerate(order):
+        entry = get(idx)
+        count = int(np.asarray(_to_numpy(entry["step"])))
+        mu_flat[path] = _transpose_like_param(
+            _to_numpy(entry["exp_avg"]).astype(np.float32), path, to_torch=False)
+        nu_flat[path] = _transpose_like_param(
+            _to_numpy(entry["exp_avg_sq"]).astype(np.float32), path, to_torch=False)
+
+    import jax.numpy as jnp
+    mu = _cast_tree_like(_unflatten(mu_flat), params)
+    nu = _cast_tree_like(_unflatten(nu_flat), params)
+
+    new_count = jnp.asarray(count, jnp.int32)
+
+    def replace_states(node):
+        if hasattr(node, "_fields"):  # NamedTuple optax state
+            updates = {}
+            if "count" in node._fields:
+                updates["count"] = new_count
+            if "mu" in node._fields:
+                updates["mu"] = mu
+            if "nu" in node._fields:
+                updates["nu"] = nu
+            node = node._replace(**updates) if updates else node
+            return type(node)(*[replace_states(x) if _is_state(x) else x
+                                for x in node])
+        if isinstance(node, tuple):
+            return tuple(replace_states(x) if _is_state(x) else x for x in node)
+        return node
+
+    def _is_state(x):
+        return hasattr(x, "_fields") or isinstance(x, tuple)
+
+    return replace_states(template_opt_state)
+
+
+def _find_adam_state(opt_state):
+    """Locate the ScaleByAdamState (has mu/nu/count) inside a chained state."""
+    if hasattr(opt_state, "_fields") and {"mu", "nu", "count"} <= set(opt_state._fields):
+        return opt_state
+    if isinstance(opt_state, tuple):
+        for item in opt_state:
+            try:
+                return _find_adam_state(item)
+            except ValueError:
+                continue
+    raise ValueError("No Adam state found in optimizer state")
+
+
+def _to_plain(tree):
+    """flax FrozenDict / dict tree -> plain nested dict of numpy arrays."""
+    if hasattr(tree, "items"):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return np.asarray(tree)
+
+
+def _cast_tree_like(tree, like):
+    import jax.numpy as jnp
+    if hasattr(like, "items"):
+        return {k: _cast_tree_like(tree[k], v) for k, v in like.items()}
+    return jnp.asarray(tree)
+
+
 def _to_numpy(value) -> np.ndarray:
     # Always copy: torch's .numpy() aliases the live parameter storage, and a
     # later optimizer step would silently mutate the converted array.
