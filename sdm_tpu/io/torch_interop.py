@@ -269,13 +269,16 @@ def torch_adam_to_optax(torch_sd: Dict[str, Any], params: Dict[str, Any],
     mu = _cast_tree_like(_unflatten(mu_flat), params)
     nu = _cast_tree_like(_unflatten(nu_flat), params)
 
-    new_count = jnp.asarray(count, jnp.int32)
+    # Fresh array per state: sharing one count buffer across chained optax
+    # states would make jit donation see the same buffer twice.
+    def new_count():
+        return jnp.array(count, jnp.int32)
 
     def replace_states(node):
         if hasattr(node, "_fields"):  # NamedTuple optax state
             updates = {}
             if "count" in node._fields:
-                updates["count"] = new_count
+                updates["count"] = new_count()
             if "mu" in node._fields:
                 updates["mu"] = mu
             if "nu" in node._fields:

@@ -1,0 +1,454 @@
+"""Generic training driver: one loop, four trainer personalities.
+
+The reference ships four ~80%-identical training scripts
+(train_diffusion.py, train_noise_cold_diffusion.py, train_doodle_diffusion.py,
+train_SR_diffusion.py — SURVEY.md §2.5). Here a single driver is
+parameterized by a `TrainerSpec`; the CLI entry points each instantiate one
+spec, consuming the reference's training-config JSON **unchanged** (same keys,
+same validation, same error strings) and writing the reference's checkpoint
+files (torch-loadable model+optimizer and config-state .pt files,
+train_diffusion.py:374-400) plus the same preview-grid plots.
+
+TPU-native structure: the epoch loop feeds device-resident sharded batches to
+one donated jitted train step (q_sample fused in); previews run the
+scan-compiled samplers as jitted functions of params (compiled once per
+shape). Mixed precision is bf16 compute / fp32 params (config key
+"compute_dtype": "bfloat16"|"float32"; default bfloat16 — the TPU analogue of
+the reference's fp16 AMP, no loss scaling needed). The NaN guard mirrors
+train_diffusion.py:354-355 host-side.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import glob
+import json
+import logging
+import os
+import pathlib
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sdm_tpu.enums import DiffusionAlg, NoiseScheduler, Objective
+from sdm_tpu.models import UNet
+from sdm_tpu.ops.schedules import make_schedule
+from sdm_tpu.ops.resize import area_resize
+from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample, cold_sample
+from sdm_tpu.train.step import (
+    make_optimizer, make_train_step, create_train_state, TrainState,
+    reference_lr_schedule)
+from sdm_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+from sdm_tpu.data import ImageDataset, ConditionalImgDataset, DoodleImgDataset, DataLoader
+from sdm_tpu.io.checkpoint import (
+    save_model, load_checkpoint, diffusion_checkpoint_dict,
+    load_params_from_checkpoint, load_optimizer_from_checkpoint)
+from sdm_tpu.io.plotting import plot_sampled_images
+from sdm_tpu.utils import setup_logging
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerSpec:
+    project_name: str
+    objective: Objective
+    preview: str                 # "base" | "cold" | "doodle" | "sr"
+    dataset: str                 # "cond_or_glob" | "doodle"
+    uses_diffusion_alg: bool     # reads config "diffusion_alg" (base/doodle)
+    has_flip: bool               # reads config "flip_imgs"
+    is_sr: bool = False          # reads lr_dim/sr_dim/cond_t
+
+
+BASE_SPEC = TrainerSpec("Diffusion", Objective.EPS, "base", "cond_or_glob",
+                        uses_diffusion_alg=True, has_flip=True)
+COLD_SPEC = TrainerSpec("Noise-Cold-Diffusion", Objective.X0, "cold",
+                        "cond_or_glob", uses_diffusion_alg=False, has_flip=True)
+DOODLE_SPEC = TrainerSpec("Doodle-Diffusion", Objective.EPS, "doodle",
+                          "doodle", uses_diffusion_alg=True, has_flip=False)
+SR_SPEC = TrainerSpec("SR-Cold-Diffusion", Objective.RESIDUAL_X0, "sr",
+                      "cond_or_glob", uses_diffusion_alg=False, has_flip=True,
+                      is_sr=True)
+
+
+def parse_args(spec: TrainerSpec, raw_args=None) -> dict:
+    parser = argparse.ArgumentParser(
+        description=f"Train {spec.project_name} models.")
+    parser.add_argument("-c", "--config-path", required=True,
+                        type=pathlib.Path,
+                        help="File path to load json config file.")
+    parser.add_argument("--device", choices=["cpu", "cuda", "tpu"],
+                        type=str, default="tpu",
+                        help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Devices for the data mesh (default: all).")
+    return vars(parser.parse_args(raw_args))
+
+
+def run_training(spec: TrainerSpec, config_dict: dict, *,
+                 num_devices: Optional[int] = None,
+                 max_steps: Optional[int] = None,
+                 max_epoch_override: Optional[int] = None) -> dict:
+    """Run training from a reference-format config dict. Returns a summary
+    (final step count, last loss) for programmatic use/tests."""
+    project_name = spec.project_name
+
+    # ---- Param unpack & validation (parity: train_diffusion.py:57-116) ----
+    starting_epoch = 0
+    global_steps = 0
+    checkpoint_steps = config_dict["checkpoint_steps"]
+    lr_steps = config_dict["lr_steps"]
+    max_epoch = config_dict["max_epoch"]
+    plot_img_count = config_dict["plot_img_count"]
+    use_conditional = (config_dict["use_conditional"]
+                       if spec.dataset == "cond_or_glob" else False)
+    flip_imgs = config_dict["flip_imgs"] if spec.has_flip else False
+
+    dataset_path = config_dict["dataset_path"]
+    if dataset_path is None:
+        raise ValueError("No dataset_path entered.")
+    out_dir = config_dict["out_dir"]
+    os.makedirs(out_dir, exist_ok=True)
+
+    diffusion_checkpoint = config_dict["model_checkpoint"]
+    config_checkpoint = config_dict["config_checkpoint"]
+    diffusion_lr = config_dict["diffusion_lr"]
+    batch_size = config_dict["batch_size"]
+
+    beta_1 = beta_T = None
+    if config_dict["noise_scheduler"] == "LINEAR":
+        noise_scheduling = NoiseScheduler.LINEAR
+        beta_1 = config_dict["beta1"]
+        beta_T = config_dict["betaT"]
+    elif config_dict["noise_scheduler"] == "COSINE":
+        noise_scheduling = NoiseScheduler.COSINE
+    else:
+        raise ValueError("Invalid noise scheduler type.")
+
+    diffusion_alg = None
+    if spec.uses_diffusion_alg:
+        if config_dict["diffusion_alg"] == "DDIM":
+            diffusion_alg = DiffusionAlg.DDIM
+        elif config_dict["diffusion_alg"] == "DDPM":
+            diffusion_alg = DiffusionAlg.DDPM
+        else:
+            raise ValueError("Invalid diffusion algorithm type.")
+
+    min_noise_step = config_dict["min_noise_step"]
+    max_noise_step = config_dict["max_noise_step"]
+    max_actual_noise_step = config_dict["max_actual_noise_step"]
+    skip_step = config_dict["skip_step"]
+    if (max_actual_noise_step < min_noise_step
+            or max_noise_step < min_noise_step
+            or skip_step > max_actual_noise_step
+            or skip_step < 0
+            or min_noise_step < 0):
+        raise ValueError("Invalid step values entered!")
+
+    lr_dim = sr_dim = cond_t = None
+    if spec.is_sr:
+        lr_dim = config_dict["lr_dim"]
+        sr_dim = config_dict["sr_dim"]
+        cond_t = config_dict["cond_t"]
+
+    if max_epoch_override is not None:
+        max_epoch = max_epoch_override
+
+    setup_logging(out_dir, project_name)
+
+    # ---- Dataset & loaders (train_diffusion.py:132-172) ----
+    if spec.dataset == "doodle":
+        dataset = DoodleImgDataset(dataset_path=dataset_path)
+    elif use_conditional:
+        dataset = ConditionalImgDataset(dataset_path=dataset_path)
+    else:
+        img_list = glob.glob(dataset_path)
+        if len(img_list) == 0:
+            raise Exception("No dataset found!")
+        dataset = ImageDataset(img_paths=img_list)
+
+    dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
+                            num_workers=8)
+    plot_loader = DataLoader(dataset,
+                             batch_size=min(plot_img_count, len(dataset)),
+                             shuffle=(spec.preview == "doodle"),
+                             num_workers=2, drop_last=False)
+    plot_batch = next(iter(plot_loader))
+    plot_imgs = plot_batch["image"]
+    plot_labels = plot_batch.get("labels")
+    plot_cond_imgs = plot_batch.get("cond_img")
+
+    if use_conditional and plot_labels is not None:
+        # labels.txt CSV append (train_diffusion.py:159-169).
+        labels_path = os.path.join(out_dir, "labels.txt")
+        header = dataset.get_labels()
+        with open(labels_path, "a") as f:
+            wr = csv.writer(f)
+            wr.writerows([header] + [list(map(float, row))
+                                     for row in plot_labels])
+
+    # ---- Model (train_diffusion.py:174-201) ----
+    compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None,
+                     "fp32": None, "bf16": jnp.bfloat16}[
+                         str(config_dict.get("compute_dtype", "bfloat16")).lower()]
+    net = UNet.from_config(config_dict, dtype=compute_dtype)
+
+    seed = int(config_dict.get("seed", 0))
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    sample_hw = plot_imgs.shape[1:3]
+    init_x = jnp.zeros((1, sample_hw[0], sample_hw[1], net.in_channel),
+                       jnp.float32)
+    init_t = jnp.array([1], jnp.int32)
+    init_cond = (jnp.zeros((1, net.cond_dim), jnp.float32)
+                 if net.cond_dim is not None else None)
+    params = net.init(init_rng, init_x, init_t, init_cond)["params"]
+
+    load_diffusion_optim = config_dict["load_diffusion_optim"]
+    tx = make_optimizer(diffusion_lr, lr_steps)
+
+    pending_optimizer = None
+    if diffusion_checkpoint is not None:
+        ok, ckpt = load_checkpoint(diffusion_checkpoint, log=logging.info)
+        if not ok:
+            raise Exception("An error occured while loading model checkpoint!")
+        params = load_params_from_checkpoint(ckpt, params, log=logging.info)
+        params = jax.tree.map(jnp.asarray, params)
+        if load_diffusion_optim:
+            pending_optimizer = ckpt["optimizer"]
+
+    if config_checkpoint is not None:
+        ok, cfg_ckpt = load_checkpoint(config_checkpoint, log=logging.info)
+        if not ok:
+            raise Exception("An error occured while loading config checkpoint!")
+        if noise_scheduling == NoiseScheduler.LINEAR:
+            beta_1 = cfg_ckpt["beta_1"]
+            beta_T = cfg_ckpt["beta_T"]
+        starting_epoch = cfg_ckpt["starting_epoch"]
+        global_steps = cfg_ckpt["global_steps"]
+
+    schedule = make_schedule(config_dict["noise_scheduler"],
+                             beta_1=beta_1 if beta_1 is not None else 5e-3,
+                             beta_T=beta_T if beta_T is not None else 9e-3,
+                             max_noise_step=max_noise_step)
+
+    state = create_train_state(params, tx, step=global_steps)
+    if pending_optimizer is not None:
+        opt_state = load_optimizer_from_checkpoint(
+            {"optimizer": pending_optimizer}, state.params, state.opt_state)
+        state = TrainState(state.step, state.params, opt_state)
+
+    # ---- Mesh & sharding ----
+    if num_devices is None:
+        # Auto: largest device count that divides the global batch.
+        avail = len(jax.devices())
+        num_devices = max(d for d in range(1, avail + 1)
+                          if batch_size % d == 0)
+    mesh = make_mesh(num_devices)
+    n_dev = mesh.devices.size
+    if batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size {batch_size} must be divisible by the mesh size "
+            f"{n_dev} for data-parallel training.")
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+    step_fn = jax.jit(
+        make_train_step(apply_fn, schedule, tx, objective=spec.objective,
+                        min_noise_step=min_noise_step,
+                        max_actual_noise_step=max_actual_noise_step,
+                        flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim),
+        donate_argnums=(0,))
+
+    lr_of = reference_lr_schedule(diffusion_lr, lr_steps)
+
+    # ---- Hyperparameter banner (train_diffusion.py:254-286) ----
+    logging.info("#" * 100)
+    logging.info("Train Parameters:")
+    logging.info(f"Max Epoch: {max_epoch:,}")
+    logging.info(f"Dataset Path: {dataset_path}")
+    logging.info(f"Output Path: {out_dir}")
+    logging.info(f"Checkpoint Steps: {checkpoint_steps}")
+    logging.info(f"Batch size: {batch_size:,}")
+    logging.info(f"Diffusion LR: {float(lr_of(jnp.asarray(global_steps))):.5f}")
+    logging.info(f"Using Conditional Info.: {use_conditional}")
+    logging.info(f"Image Augmentation (Random Horizontal Flip): {flip_imgs}")
+    logging.info(f"Devices (data mesh): {n_dev}")
+    logging.info(f"Compute dtype: {compute_dtype or jnp.float32}")
+    if spec.is_sr:
+        logging.info(f"Low Resolution Dim: {lr_dim:,}")
+        logging.info(f"Super Resolution Dim: {sr_dim:,}")
+    logging.info("#" * 100)
+    if noise_scheduling == NoiseScheduler.LINEAR:
+        logging.info(f"Beta_1: {beta_1:,.5f}")
+        logging.info(f"Beta_T: {beta_T:,.5f}")
+    logging.info(f"Min Noise Step: {min_noise_step:,}")
+    logging.info(f"Max Noise Step: {max_noise_step:,}")
+    logging.info(f"Max Actual Noise Step: {max_actual_noise_step:,}")
+    logging.info("#" * 100)
+
+    # ---- Preview sampler (jitted once, params as argument) ----
+    preview_jit = {}
+
+    def run_preview(state_params, rng_key):
+        n = plot_imgs.shape[0]
+        h, w = plot_imgs.shape[1], plot_imgs.shape[2]
+        c = config_dict["out_channel"]
+        rng_key, nk = jax.random.split(rng_key)
+        noise_plot = jax.random.normal(nk, (n, h, w, c), jnp.float32)
+        labels_j = (jnp.asarray(plot_labels)
+                    if plot_labels is not None else None)
+
+        def model_fn_factory(p):
+            return lambda x, t, l: net.apply({"params": p}, x, t, l)
+
+        if spec.preview in ("base", "cold", "doodle"):
+            if max_actual_noise_step < max_noise_step:
+                x_t_plot = schedule.q_sample(
+                    jnp.asarray(plot_imgs),
+                    jnp.array([max_actual_noise_step]), noise_plot)
+            else:
+                x_t_plot = noise_plot
+
+        if spec.preview == "base" or spec.preview == "doodle":
+            cond = (jnp.asarray(plot_cond_imgs)
+                    if spec.preview == "doodle" else None)
+            labels_arg = labels_j if spec.preview == "base" else None
+            key = ("prev", diffusion_alg)
+            if key not in preview_jit:
+                def fn(p, x_t, k, labels, cond_img):
+                    mf = model_fn_factory(p)
+                    if diffusion_alg == DiffusionAlg.DDPM:
+                        return ddpm_sample(
+                            mf, schedule, x_t, rng=k,
+                            min_noise=min_noise_step,
+                            max_noise=max_actual_noise_step,
+                            cond_img=cond_img, labels=labels)
+                    return ddim_sample(
+                        mf, schedule, x_t,
+                        min_noise=min_noise_step,
+                        max_noise=max_actual_noise_step,
+                        ddim_step_size=skip_step,
+                        cond_img=cond_img, labels=labels)
+                preview_jit[key] = jax.jit(fn, static_argnames=())
+            rng_key, sk = jax.random.split(rng_key)
+            out = preview_jit[key](state_params, x_t_plot, sk, labels_arg, cond)
+            return np.asarray(out)
+
+        if spec.preview == "cold":
+            key = ("cold",)
+            if key not in preview_jit:
+                def fn(p, x_t, noise, labels):
+                    mf = model_fn_factory(p)
+                    return cold_sample(
+                        mf, schedule, x_t, noise,
+                        min_noise=min_noise_step,
+                        max_noise=max_actual_noise_step,
+                        skip_step_size=skip_step, labels=labels)
+                preview_jit[key] = jax.jit(fn)
+            out = preview_jit[key](state_params, x_t_plot, noise_plot, labels_j)
+            return np.asarray(out)
+
+        # SR preview (train_SR_diffusion.py:424-462).
+        key = ("sr",)
+        lr_plot = area_resize(
+            area_resize(jnp.asarray(plot_imgs), lr_dim, lr_dim), sr_dim, sr_dim)
+        x_t_lr = schedule.q_sample(lr_plot, jnp.array([cond_t]), noise_plot)
+        if key not in preview_jit:
+            def fn(p, x_t, noise, cond_img, labels):
+                mf = model_fn_factory(p)
+                return cold_sample(
+                    mf, schedule, x_t, noise,
+                    min_noise=min_noise_step,
+                    max_noise=max_actual_noise_step,
+                    skip_step_size=skip_step,
+                    cond_img=cond_img, labels=labels)
+            preview_jit[key] = jax.jit(fn)
+        x0 = preview_jit[key](state_params, noise_plot, noise_plot, x_t_lr,
+                              labels_j)
+        return np.asarray(x0 + lr_plot)
+
+    def checkpoint_and_preview(state, rng_key, steps):
+        config_state = {"starting_epoch": starting_epoch,
+                        "global_steps": int(steps)}
+        if noise_scheduling == NoiseScheduler.LINEAR:
+            config_state["beta_1"] = beta_1
+            config_state["beta_T"] = beta_T
+        save_model(config_state, "config", out_dir, checkpoint=True,
+                   steps=int(steps), log=logging.info)
+        ckpt = diffusion_checkpoint_dict(
+            state.params, state.opt_state,
+            lr=float(lr_of(jnp.asarray(int(steps)))))
+        save_model(ckpt, "diffusion", out_dir, checkpoint=True,
+                   steps=int(steps), log=logging.info)
+        try:
+            imgs = run_preview(state.params, rng_key)
+            plot_sampled_images(imgs, f"diffusion_plot_{int(steps)}",
+                                dest_path=out_dir, log=logging.info)
+        except Exception as e:  # preview must never kill training
+            logging.info(f"Preview sampling failed: {e}")
+
+    # ---- Epoch loop (train_diffusion.py:288-495) ----
+    last_loss = float("nan")
+    stop = False
+    for epoch in range(starting_epoch, max_epoch):
+        total_diffusion_loss = 0.0
+        training_count = 0
+        for index, batch in enumerate(dataloader):
+            training_count += 1
+            rng, step_rng = jax.random.split(rng)
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+                mesh)
+            state, metrics = step_fn(state, device_batch, step_rng)
+            loss = float(metrics["loss"])
+            if np.isnan(loss):
+                raise Exception("NaN encountered during training")
+            last_loss = loss
+            total_diffusion_loss += loss
+
+            if global_steps % checkpoint_steps == 0 and global_steps >= 0:
+                rng, prev_rng = jax.random.split(rng)
+                checkpoint_and_preview(state, prev_rng, global_steps)
+
+            temp_avg = total_diffusion_loss / training_count
+            logging.info(
+                "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
+                    global_steps + 1, index + 1, len(dataloader), temp_avg,
+                    float(lr_of(jnp.asarray(global_steps)))))
+            global_steps += 1
+            if max_steps is not None and global_steps >= max_steps:
+                stop = True
+                break
+
+        # End-of-epoch checkpoint (train_diffusion.py:463-495).
+        config_state = {"starting_epoch": starting_epoch,
+                        "global_steps": global_steps}
+        if noise_scheduling == NoiseScheduler.LINEAR:
+            config_state["beta_1"] = beta_1
+            config_state["beta_T"] = beta_T
+        save_model(config_state, "config", out_dir, checkpoint=True,
+                   steps=global_steps, log=logging.info)
+        ckpt = diffusion_checkpoint_dict(
+            state.params, state.opt_state,
+            lr=float(lr_of(jnp.asarray(global_steps))))
+        save_model(ckpt, "diffusion", out_dir, checkpoint=True,
+                   steps=global_steps, log=logging.info)
+        if training_count:
+            avg = total_diffusion_loss / training_count
+            logging.info("Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
+                epoch, avg, float(lr_of(jnp.asarray(global_steps)))))
+        if stop:
+            break
+
+    return {"global_steps": global_steps, "last_loss": last_loss,
+            "state": state}
+
+
+def main(spec: TrainerSpec, raw_args=None):
+    args = parse_args(spec, raw_args)
+    with open(args["config_path"], "r") as f:
+        config_dict = json.loads(f.read())
+    return run_training(spec, config_dict, num_devices=args["num_devices"])

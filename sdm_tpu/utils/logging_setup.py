@@ -19,3 +19,7 @@ def setup_logging(out_dir: str, project_name: str) -> None:
         encoding="utf-8",
         handlers=[logging.FileHandler(log_path), logging.StreamHandler()],
         level=logging.DEBUG)
+    # Root-DEBUG would also surface JAX-internal debug chatter (the reference
+    # had no such dependency); keep library loggers quiet.
+    for noisy in ("jax", "jax._src", "absl", "orbax"):
+        logging.getLogger(noisy).setLevel(logging.WARNING)

@@ -1,0 +1,139 @@
+"""End-to-end training-loop smoke: tiny dataset -> few steps -> reference-
+format checkpoints on disk that the actual reference model loads strictly."""
+
+import glob
+import os
+
+import numpy as np
+import torch
+
+from sdm_tpu.train.loop import (
+    run_training, BASE_SPEC, COLD_SPEC, DOODLE_SPEC, SR_SPEC)
+from sdm_tpu.data.tinydb_compat import write_tables
+from tests.reference_loader import load_reference
+
+REF = load_reference()
+
+
+def _mk_images(tmp_path, n=6, hw=8):
+    import cv2
+    rng = np.random.default_rng(0)
+    d = tmp_path / "imgs"
+    d.mkdir(exist_ok=True)
+    paths = []
+    for i in range(n):
+        p = str(d / f"im_{i}.png")
+        cv2.imwrite(p, rng.integers(0, 256, (hw, hw, 3), dtype=np.uint8))
+        paths.append(p)
+    return paths
+
+
+def _base_config(tmp_path, **over):
+    cfg = dict(
+        dataset_path=str(tmp_path / "imgs" / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=2, lr_steps=100, max_epoch=1, plot_img_count=4,
+        flip_imgs=True, model_checkpoint=None, load_diffusion_optim=False,
+        config_checkpoint=None, diffusion_lr=1e-4, batch_size=2,
+        noise_scheduler="LINEAR", beta1=5e-3, betaT=9e-3,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=10, max_actual_noise_step=10,
+        in_channel=3, out_channel=3, num_layers=1, num_resnet_block=1,
+        attn_layers=[0], attn_heads=1, attn_dim_per_head=None,
+        time_dim=8, min_channel=32, max_channel=32, img_recon=False,
+        compute_dtype="float32",
+    )
+    cfg.update(over)
+    return cfg
+
+
+def test_base_training_end_to_end(tmp_path):
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path)
+    result = run_training(BASE_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert np.isfinite(result["last_loss"])
+
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))
+    cfg_ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" / "config_*.pt")))
+    plots = glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
+    assert ckpts and cfg_ckpts and plots
+
+    # The reference model must load our training checkpoint strictly.
+    loaded = torch.load(ckpts[-1], map_location="cpu", weights_only=False)
+    ref_net = REF.U_Net(
+        in_channel=3, out_channel=3, num_layers=1, num_resnet_blocks=1,
+        attn_layers=[0], num_heads=1, dim_per_head=None, time_dim=8,
+        cond_dim=None, min_channel=32, max_channel=32, image_recon=False)
+    ref_net.load_state_dict(loaded["model"])
+    optim = torch.optim.Adam(ref_net.parameters(), lr=1e-4, betas=(0.5, 0.999))
+    optim.load_state_dict(loaded["optimizer"])
+
+    ok, cfg_state = (True, torch.load(cfg_ckpts[-1], map_location="cpu",
+                                      weights_only=False))
+    assert cfg_state["beta_1"] == 5e-3 and cfg_state["beta_T"] == 9e-3
+    assert "global_steps" in cfg_state and "starting_epoch" in cfg_state
+
+
+def test_base_training_resume_from_checkpoint(tmp_path):
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path)
+    run_training(BASE_SPEC, cfg, max_steps=2)
+    ckpt = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))[-1]
+    cfg_ckpt = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" / "config_*.pt")))[-1]
+
+    cfg2 = _base_config(tmp_path, model_checkpoint=ckpt,
+                        load_diffusion_optim=True, config_checkpoint=cfg_ckpt)
+    result = run_training(BASE_SPEC, cfg2, max_steps=4)
+    assert result["global_steps"] == 4
+
+
+def test_cold_training_end_to_end(tmp_path):
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, img_recon=True, noise_scheduler="COSINE",
+                       diffusion_alg="DDPM")
+    result = run_training(COLD_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert np.isfinite(result["last_loss"])
+    assert glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
+
+
+def test_doodle_training_end_to_end(tmp_path):
+    paths = _mk_images(tmp_path)
+    db = tmp_path / "doodle.json"
+    write_tables(str(db), {
+        "Data": [{"filename": p, "doodle": paths[(i + 1) % len(paths)]}
+                 for i, p in enumerate(paths)],
+        "Labels": [{"labels": ["doodle"]}],
+    })
+    cfg = _base_config(tmp_path, dataset_path=str(db), in_channel=6)
+    del cfg["flip_imgs"], cfg["use_conditional"]
+    result = run_training(DOODLE_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert np.isfinite(result["last_loss"])
+
+
+def test_sr_training_end_to_end(tmp_path):
+    _mk_images(tmp_path, hw=8)
+    cfg = _base_config(tmp_path, in_channel=6, img_recon=True,
+                       lr_dim=4, sr_dim=8, cond_t=5)
+    result = run_training(SR_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert np.isfinite(result["last_loss"])
+    assert glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
+
+
+def test_conditional_training_with_labels_txt(tmp_path):
+    paths = _mk_images(tmp_path)
+    db = tmp_path / "cond.json"
+    write_tables(str(db), {
+        "Data": [{"filename": p, "a": float(i % 2), "b": 1.0}
+                 for i, p in enumerate(paths)],
+        "Labels": [{"labels": ["a", "b"]}],
+    })
+    cfg = _base_config(tmp_path, dataset_path=str(db), use_conditional=True,
+                       cond_dim=2, diffusion_alg="DDPM")
+    result = run_training(BASE_SPEC, cfg, max_steps=2)
+    assert result["global_steps"] == 2
+    assert os.path.exists(str(tmp_path / "out" / "labels.txt"))
