@@ -1,0 +1,6 @@
+#!/usr/bin/env python
+"""Entry point parity with the reference's generate_images_diffusion.py."""
+from sdm_tpu.cli.generate_images_diffusion import run
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,10 @@
+"""CLI parity with /root/reference/create_doodle_diffusion_config.py."""
+from sdm_tpu.cli.config_wizards import create_doodle_diffusion_config
+
+
+def run():
+    create_doodle_diffusion_config()
+
+
+if __name__ == "__main__":
+    run()

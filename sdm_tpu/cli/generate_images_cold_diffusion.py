@@ -1,0 +1,114 @@
+"""Cold-diffusion image generation from exported bundles.
+
+CLI parity with /root/reference/generate_images_cold_diffusion.py:23-204:
+same flags, same bundle format; ensemble chaining RE-DEGRADES the previous
+model's x0 to the next model's max_noise with the shared initial noise
+(:135-140). Fixes the reference's KeyError for BASE-COLD LINEAR bundles
+(missing beta_1/beta_T — see sdm_tpu/io/bundles.py) rather than crashing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import uuid
+from datetime import datetime
+
+import numpy as np
+
+
+def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
+    import jax
+    import jax.numpy as jnp
+
+    from sdm_tpu.diffusion.samplers import cold_sample
+    from sdm_tpu.io.bundles import load_bundle_config, build_model_from_bundle
+    from sdm_tpu.io.plotting import plot_sampled_images
+
+    parser = argparse.ArgumentParser(
+        description="Generate Images using Cold Diffusion models.")
+    parser.add_argument("--device", choices=["cpu", "cuda", "tpu"], type=str,
+                        default="tpu",
+                        help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("-c", "--config", required=True, type=pathlib.Path,
+                        help="File path to load config file.")
+    parser.add_argument("-s", "--seed", type=int, default=None,
+                        help="Seed value for generating image(default: None).")
+    parser.add_argument("-T", "--max_T", default=1_000, type=int,
+                        help="Max T value for noise scheduling(In cases of Ensemble methods).")
+    parser.add_argument("-n", "--num_images", default=1, type=int,
+                        help="Number of images to generate(default=1).")
+    parser.add_argument("-d", "--dest_path", type=pathlib.Path,
+                        help="File path to save images generated (Default: ./plots).")
+    parser.add_argument("--cold_step_size", default=10, type=int,
+                        help="Number of steps to skip when using cold diffusion.")
+    parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
+                        help="Conditional Labels.")
+    args = vars(parser.parse_args(raw_args))
+
+    rng = jax.random.PRNGKey(args["seed"] if args["seed"] is not None
+                             else np.random.SeedSequence().entropy % (2**32))
+
+    if args["num_images"] <= 0:
+        raise ValueError("Invalid image numbers, should be greater than 0!")
+    if args["dest_path"] is None:
+        out_dir = "./"
+    else:
+        if not args["dest_path"].exists():
+            raise ValueError("Invalid destination path!")
+        out_dir = str(args["dest_path"])
+    if args["cold_step_size"] < 0 or args["cold_step_size"] > args["max_T"]:
+        raise ValueError("Invalid step size for Cold Diffusion!")
+
+    models_details, folder = load_bundle_config(args["config"])
+
+    noise = None
+    x0_approx = None
+    img_h = img_w = None
+    for model_dict in models_details["models"]:
+        model_fn, schedule, _ = build_model_from_bundle(
+            model_dict, folder, max_T=args["max_T"])
+
+        if noise is None:
+            img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
+                                   model_dict["img_W"])
+            rng, nk = jax.random.split(rng)
+            noise = jax.random.normal(
+                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32)
+            x_t = 1 * noise
+        else:
+            # Ensemble chaining: re-degrade previous x0 to this model's
+            # max_noise with the shared noise (:135-140).
+            x_t = schedule.q_sample(
+                x0_approx, jnp.array([model_dict["max_noise"]]), noise)
+
+        if model_dict["cond_dim"] is not None:
+            if (args["labels"] is None
+                    or len(args["labels"]) != model_dict["cond_dim"]):
+                raise ValueError("Invalid/No conditional labels passed!")
+            labels = jnp.asarray(np.asarray(args["labels"], np.float32))
+        else:
+            labels = None
+
+        x0_approx = jax.jit(lambda xt, nz, l: cold_sample(
+            model_fn, schedule, xt, nz,
+            min_noise=model_dict["min_noise"],
+            max_noise=model_dict["max_noise"],
+            skip_step_size=args["cold_step_size"],
+            labels=l))(x_t, noise, labels)
+
+    x0_approx = np.asarray(x0_approx)
+    if save_locally:
+        datetime_now = datetime.now().strftime("%d-%m-%Y %H:%M:%S")
+        unique_name = datetime_now + f"({img_h},{img_w})" + "_" + uuid.uuid4().hex
+        plot_sampled_images(x0_approx, unique_name, dest_path=out_dir, log=log)
+        return None
+    return x0_approx
+
+
+def run(raw_args=None):
+    return generate_images_cold_diffusion(raw_args)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,166 @@
+"""Image generation from exported bundles — DDPM/DDIM, ensemble chaining.
+
+CLI parity with /root/reference/generate_images_diffusion.py:35-273: same
+flags (--device/-c/-s/-n/-d/--diff_alg/--ddim_step_size/-T/--cond_img_path/
+-l), same bundle config.json, optional conditional image (channel-concat),
+ensemble chaining of range-specialized models by passing x_t through the
+chain. Each model's whole reverse trajectory runs as one jitted scan on
+device; images return as NHWC BGR float in [-1,1] (save path identical to
+the reference's grid naming scheme).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pathlib
+import uuid
+from datetime import datetime
+
+import numpy as np
+
+SUPPORTED_IMG_FORMATS = ["jpeg", "jpg", "png"]
+
+
+def _detect_img_format(path) -> str:
+    # stdlib imghdr was removed in py3.13; sniff the magic bytes directly
+    # (parity with the reference's imghdr.what check,
+    # generate_images_diffusion.py:127-136).
+    with open(path, "rb") as f:
+        head = f.read(12)
+    if head.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    return "unknown"
+
+
+def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
+                              save_locally=True):
+    import jax
+    import jax.numpy as jnp
+
+    from sdm_tpu.enums import DiffusionAlg
+    from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample
+    from sdm_tpu.io.bundles import load_bundle_config, build_model_from_bundle
+    from sdm_tpu.io.plotting import plot_sampled_images
+
+    parser = argparse.ArgumentParser(
+        description="Generate Images using Diffusion models.")
+    parser.add_argument("--device", choices=["cpu", "cuda", "tpu"], type=str,
+                        default="tpu",
+                        help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("-c", "--config", required=True, type=pathlib.Path,
+                        help="File path to config file.")
+    parser.add_argument("-s", "--seed", type=int, default=None,
+                        help="Seed value for generating image(default: None).")
+    parser.add_argument("-n", "--num_images", default=1, type=int,
+                        help="Number of images to generate(default=1).")
+    parser.add_argument("-d", "--dest_path", type=pathlib.Path,
+                        help="File path to save images generated (Default: ./plots).")
+    parser.add_argument("--diff_alg", default="ddpm",
+                        choices=[a.name.lower() for a in DiffusionAlg],
+                        help="Diffusion Sampling Algorithm to use (default: ddpm).")
+    parser.add_argument("--ddim_step_size", default=10, type=int,
+                        help="Number of steps to skip when using ddim.")
+    parser.add_argument("-T", "--max_T", default=1_000, type=int,
+                        help="Max T value for noise scheduling (In cases of Ensemble methods).")
+    parser.add_argument("--cond_img_path", type=pathlib.Path, default=None,
+                        help="File path to conditional image e.g Doodle image.")
+    parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
+                        help="Conditional Labels.")
+    args = vars(parser.parse_args(raw_args))
+
+    rng = jax.random.PRNGKey(args["seed"] if args["seed"] is not None
+                             else np.random.SeedSequence().entropy % (2**32))
+
+    if args["num_images"] <= 0:
+        raise ValueError("Invalid image numbers, should be greater than 0!")
+
+    if args["dest_path"] is None:
+        out_dir = "./"
+    else:
+        if not args["dest_path"].exists():
+            raise ValueError(
+                "Invalid destination path, kindly correct and ensure it exists!")
+        out_dir = str(args["dest_path"])
+
+    if args["diff_alg"] == DiffusionAlg.DDIM.name.lower():
+        if args["ddim_step_size"] < 0 or args["ddim_step_size"] > args["max_T"]:
+            raise ValueError("Invalid step size for DDIM!")
+
+    cond_img_path = args["cond_img_path"]
+    if cond_img_path is not None:
+        import cv2
+        if not os.path.isfile(cond_img_path):
+            raise FileNotFoundError(
+                "Invalid path for conditional image, kindly correct and try again!")
+        if _detect_img_format(cond_img_path) not in SUPPORTED_IMG_FORMATS:
+            raise ValueError("Image format is not supported!")
+        cond_img = cv2.imread(str(cond_img_path))
+
+    if cond_img is not None:
+        if not isinstance(cond_img, np.ndarray):
+            raise ValueError("Unsupported conditional image.")
+        cond_img = (cond_img.astype(np.float32) - 127.5) / 127.5  # HWC BGR
+        cond_img = jnp.asarray(
+            np.repeat(cond_img[None], args["num_images"], axis=0))
+
+    models_details, folder = load_bundle_config(args["config"])
+
+    noise = None
+    x_t = None
+    img_h = img_w = None
+    for model_dict in models_details["models"]:
+        if noise is None:
+            img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
+                                   model_dict["img_W"])
+            rng, nk = jax.random.split(rng)
+            noise = jax.random.normal(
+                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32)
+            x_t = 1 * noise
+
+        if model_dict["cond_dim"] is not None:
+            if (args["labels"] is None
+                    or len(args["labels"]) != model_dict["cond_dim"]):
+                raise ValueError("Invalid / No conditional labels passed!")
+            labels = jnp.asarray(np.asarray(args["labels"], np.float32))
+        else:
+            labels = None
+
+        model_fn, schedule, _ = build_model_from_bundle(
+            model_dict, folder, max_T=args["max_T"])
+
+        if args["diff_alg"].lower() == DiffusionAlg.DDPM.name.lower():
+            rng, sk = jax.random.split(rng)
+            x_t = jax.jit(lambda xt, k, l, c: ddpm_sample(
+                model_fn, schedule, xt, rng=k,
+                min_noise=model_dict["min_noise"],
+                max_noise=model_dict["max_noise"],
+                cond_img=c, labels=l))(x_t, sk, labels, cond_img)
+        elif args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower():
+            x_t = jax.jit(lambda xt, l, c: ddim_sample(
+                model_fn, schedule, xt,
+                min_noise=model_dict["min_noise"],
+                max_noise=model_dict["max_noise"],
+                ddim_step_size=args["ddim_step_size"],
+                cond_img=c, labels=l))(x_t, labels, cond_img)
+        else:
+            raise ValueError("Invalid Diffusion Algorithm type.")
+
+    x_t = np.asarray(x_t)
+    if save_locally:
+        datetime_now = datetime.now().strftime("%d-%m-%Y %H:%M:%S")
+        unique_name = (datetime_now + "_" + f"({img_h},{img_w})" + "_"
+                       + uuid.uuid4().hex)
+        plot_sampled_images(x_t, unique_name, dest_path=out_dir, log=log)
+        return None
+    return x_t
+
+
+def run(raw_args=None):
+    return generate_images_diffusion(raw_args)
+
+
+if __name__ == "__main__":
+    run()

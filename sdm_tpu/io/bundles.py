@@ -1,0 +1,67 @@
+"""Inference model bundles (export_models.py format).
+
+A bundle directory holds `config.json` with a `"models"` list plus one
+checkpoint .pt per model (export_models.py:49-116). Keys per model dict:
+model_name, img_C/H/W, in/out_channel, num_layers, num_resnet_block,
+attn_layers, attn_heads, attn_dim_per_head, time_dim, cond_dim,
+min/max_channel, image_recon, max_noise, min_noise, noise_scheduler, and
+beta_1/beta_T (BASE) or cond_t (SR). This loader consumes both reference-
+written and sdm_tpu-written bundles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sdm_tpu.models import UNet
+from sdm_tpu.ops.schedules import make_schedule
+from sdm_tpu.io.checkpoint import load_checkpoint
+from sdm_tpu.io.torch_interop import torch_state_dict_to_params
+
+
+def load_bundle_config(config_path: str) -> Tuple[dict, str]:
+    with open(config_path, "r") as f:
+        models_details = json.load(f)
+    if "models" not in models_details or len(models_details["models"]) == 0:
+        raise ValueError(
+            "Invalid/no model details in json, kindly correct and try again!")
+    folder, _ = os.path.split(str(config_path))
+    return models_details, folder
+
+
+def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
+                            max_T: int, dtype=None):
+    """Returns (model_fn, schedule) for one bundle entry: the UNet with its
+    checkpoint loaded, and the degrader rebuilt from bundle params
+    (generate_images_diffusion.py:187-227)."""
+    scheduler_name = str(model_dict["noise_scheduler"])
+    schedule = make_schedule(
+        scheduler_name,
+        # Robustness fix over the reference: BASE-COLD LINEAR bundles lack
+        # beta_1/beta_T (export_models.py:94-99 only writes them for "BASE"),
+        # which crashes generate_images_cold_diffusion.py:116-121 with a
+        # KeyError; fall back to the wizard defaults instead.
+        beta_1=model_dict.get("beta_1", 5e-3),
+        beta_T=model_dict.get("beta_T", 9e-3),
+        max_noise_step=max_T)
+
+    net = UNet.from_config(model_dict, dtype=dtype)
+    model_path = os.path.join(bundle_folder, model_dict["model_name"])
+    if not os.path.isfile(model_path):
+        raise FileNotFoundError(
+            "Invalid path for model in json file, kindly correct and try again!")
+    ok, ckpt = load_checkpoint(model_path, log=lambda *a, **k: None)
+    if not ok:
+        raise Exception("Failed to load model!")
+    params = jax.tree.map(jnp.asarray,
+                          torch_state_dict_to_params(ckpt["model"]))
+
+    def model_fn(x, t, labels):
+        return net.apply({"params": params}, x, t, labels)
+
+    return model_fn, schedule, net

@@ -1,0 +1,193 @@
+"""End-to-end generator parity: our CLI generators vs the reference's,
+running the same exported bundles with identical starting noise.
+
+Bundles are produced by our export_bundle (covering the export path), with
+checkpoints written by torch.save of a reference model's state_dict — i.e.
+exactly what a reference user would have on disk.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from sdm_tpu.cli.export_models import export_bundle
+from sdm_tpu.cli.generate_images_diffusion import generate_images_diffusion
+from sdm_tpu.cli.generate_images_cold_diffusion import generate_images_cold_diffusion
+from sdm_tpu.cli.generate_sr_images_diffusion import generate_sr_images_diffusion
+from tests.reference_loader import load_reference
+
+REF = load_reference()
+
+MODEL_CFG = dict(
+    in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+    attn_layers=[1], attn_heads=1, attn_dim_per_head=None, time_dim=16,
+    cond_dim=None, min_channel=32, max_channel=64, img_recon=False,
+)
+
+
+def _train_cfg(min_noise, max_noise, **over):
+    cfg = dict(MODEL_CFG)
+    cfg.update(min_noise_step=min_noise, max_noise_step=max_noise,
+               noise_scheduler="LINEAR", beta1=5e-3, betaT=9e-3)
+    cfg.update(over)
+    return cfg
+
+
+def _save_ref_ckpt(tmp_path, name, seed=0, **cfg_over):
+    torch.manual_seed(seed)
+    cfg = dict(MODEL_CFG)
+    cfg.update({k: v for k, v in cfg_over.items() if k in MODEL_CFG})
+    net = REF.U_Net(
+        in_channel=cfg["in_channel"], out_channel=cfg["out_channel"],
+        num_layers=cfg["num_layers"], num_resnet_blocks=cfg["num_resnet_block"],
+        attn_layers=cfg["attn_layers"], num_heads=cfg["attn_heads"],
+        dim_per_head=cfg["attn_dim_per_head"], time_dim=cfg["time_dim"],
+        cond_dim=cfg["cond_dim"], min_channel=cfg["min_channel"],
+        max_channel=cfg["max_channel"], image_recon=cfg["img_recon"])
+    path = str(tmp_path / name)
+    torch.save({"model": net.state_dict()}, path)
+    return net, path
+
+
+def _patch_noise(monkeypatch, noise_nhwc):
+    """Make both frameworks start from the same gaussian draw."""
+    fixed_torch = torch.from_numpy(
+        np.ascontiguousarray(noise_nhwc.transpose(0, 3, 1, 2)))
+    monkeypatch.setattr(torch, "randn",
+                        lambda *a, **k: fixed_torch.clone())
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape, dtype=jnp.float32):
+        if tuple(shape) == noise_nhwc.shape:
+            return jnp.asarray(noise_nhwc)
+        return real_normal(key, shape, dtype)
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+
+
+def test_ddim_generator_parity_ensemble(tmp_path, monkeypatch):
+    net1, p1 = _save_ref_ckpt(tmp_path, "m1.pt", seed=0)
+    net2, p2 = _save_ref_ckpt(tmp_path, "m2.pt", seed=1)
+    bundle = export_bundle(
+        "testmodel", str(tmp_path), img_c=3, img_h=16, img_w=16,
+        model_type="BASE",
+        entries=[(_train_cfg(11, 20), p1), (_train_cfg(1, 10), p2)])
+    config = os.path.join(bundle, "config.json")
+
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    _patch_noise(monkeypatch, noise)
+
+    theirs = REF_generate(config, n=2, alg="ddim", step=4)
+    ours = generate_images_diffusion(
+        ["-c", config, "-n", "2", "--diff_alg", "ddim",
+         "--ddim_step_size", "4"],
+        save_locally=False)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-4)
+
+
+def REF_generate(config, n, alg, step):
+    import importlib
+    gen_mod = importlib.import_module("generate_images_diffusion")
+    out = gen_mod.generate_images_diffusion(
+        ["-c", config, "-n", str(n), "--diff_alg", alg,
+         "--ddim_step_size", str(step)],
+        log=lambda *a, **k: None, save_locally=False)
+    return out.numpy().transpose(0, 2, 3, 1)
+
+
+def test_cold_generator_parity_ensemble(tmp_path, monkeypatch):
+    net1, p1 = _save_ref_ckpt(tmp_path, "c1.pt", seed=2, img_recon=True)
+    net2, p2 = _save_ref_ckpt(tmp_path, "c2.pt", seed=3, img_recon=True)
+    cfgs = [_train_cfg(11, 20, img_recon=True), _train_cfg(1, 10, img_recon=True)]
+    bundle = export_bundle("coldmodel", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE-COLD",
+                           entries=list(zip(cfgs, [p1, p2])))
+    config = os.path.join(bundle, "config.json")
+    # Our export writes beta_1/beta_T for BASE-COLD (reference bug fix) —
+    # assert that, then also prove we can read a reference-style bundle
+    # where they are missing.
+    with open(config) as f:
+        bd = json.load(f)
+    assert "beta_1" in bd["models"][0]
+
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    _patch_noise(monkeypatch, noise)
+
+    import importlib
+    gen_mod = importlib.import_module("generate_images_cold_diffusion")
+    theirs = gen_mod.generate_images_cold_diffusion(
+        ["-c", config, "-n", "2", "--cold_step_size", "4"],
+        log=lambda *a, **k: None, save_locally=False)
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+
+    ours = generate_images_cold_diffusion(
+        ["-c", config, "-n", "2", "--cold_step_size", "4"],
+        save_locally=False)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-4)
+
+    # Reference-style bundle (no beta keys on BASE-COLD): must still run.
+    for m in bd["models"]:
+        m.pop("beta_1", None)
+        m.pop("beta_T", None)
+    with open(config, "w") as f:
+        json.dump(bd, f)
+    out = generate_images_cold_diffusion(
+        ["-c", config, "-n", "2", "--cold_step_size", "4"],
+        save_locally=False)
+    assert np.all(np.isfinite(out))
+
+
+def test_sr_generator_parity(tmp_path, monkeypatch):
+    sr_model = dict(MODEL_CFG, in_channel=6, img_recon=True)
+    torch.manual_seed(4)
+    net = REF.U_Net(
+        in_channel=6, out_channel=3, num_layers=2, num_resnet_blocks=1,
+        attn_layers=[1], num_heads=1, dim_per_head=None, time_dim=16,
+        cond_dim=None, min_channel=32, max_channel=64, image_recon=True)
+    p = str(tmp_path / "sr.pt")
+    torch.save({"model": net.state_dict()}, p)
+    cfg = dict(sr_model, min_noise_step=1, max_noise_step=10,
+               noise_scheduler="LINEAR", beta1=5e-3, betaT=9e-3, cond_t=5)
+    bundle = export_bundle("srmodel", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="SR", entries=[(cfg, p)])
+    config = os.path.join(bundle, "config.json")
+
+    rng = np.random.default_rng(2)
+    noise = rng.standard_normal((1, 16, 16, 3)).astype(np.float32)
+    lr_img_u8 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    _patch_noise(monkeypatch, noise)
+
+    import importlib
+    gen_mod = importlib.import_module("generate_sr_images_diffusion")
+    theirs = gen_mod.generate_sr_images_diffusion(
+        ["-c", config, "--cold_step_size", "4"],
+        log=lambda *a, **k: None, lr_img=lr_img_u8, save_locally=False)
+    theirs = theirs.numpy().transpose(0, 2, 3, 1)
+
+    ours = generate_sr_images_diffusion(
+        ["-c", config, "--cold_step_size", "4"],
+        lr_img=lr_img_u8, save_locally=False)
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=1e-3)
+
+
+def test_generator_saves_grid(tmp_path, monkeypatch):
+    _, p = _save_ref_ckpt(tmp_path, "m.pt", seed=5)
+    bundle = export_bundle("saver", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(1, 10), p)])
+    config = os.path.join(bundle, "config.json")
+    dest = tmp_path / "outdir"
+    dest.mkdir()
+    out = generate_images_diffusion(
+        ["-c", config, "-n", "2", "--diff_alg", "ddim",
+         "--ddim_step_size", "4", "-d", str(dest), "-s", "7"],
+        save_locally=True, log=lambda *a, **k: None)
+    assert out is None
+    import glob as g
+    assert g.glob(str(dest / "plots" / "*.jpg"))
