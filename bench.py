@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (default): DDIM-50 sampling throughput for 128x128 images on
+the flagship U-Net (reference default architecture: 4 layers, 128->512
+channels, time_dim 512; create_diffusion_config.py:164-198), whole 50-step
+reverse trajectory compiled as one lax.scan. Baseline: the north-star target
+of 200 images/sec/chip (BASELINE.md) — vs_baseline = value / 200.
+
+Secondary (--metric train64): 64x64 DDPM training steps/sec/chip, fused
+q_sample+fwd+bwd+Adam step, bf16 compute. Baseline: measured A100-PyTorch
+reference rate is unavailable in this environment (BASELINE.md: the reference
+publishes no numbers); we report vs the same 5x-target proxy recorded in
+BASELINE.json via --train-baseline (default 5.0 steps/sec, overridable when a
+measured control exists).
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def flagship_net(dtype=jnp.bfloat16, in_channel=3, use_pallas=False):
+    from sdm_tpu.models import UNet
+    return UNet(
+        num_resnet_blocks=1, in_channel=in_channel, out_channel=3,
+        time_dim=512, cond_dim=None, num_layers=4, attn_layers=(2, 3),
+        num_heads=1, dim_per_head=None, min_channel=128, max_channel=512,
+        image_recon=False, dtype=dtype, use_pallas=use_pallas)
+
+
+def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
+    from sdm_tpu.diffusion.samplers import ddim_sample
+    from sdm_tpu.ops.schedules import LinearSchedule
+
+    net = flagship_net(use_pallas=use_pallas)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    params = net.init(rng, x0, jnp.array([1], jnp.int32))["params"]
+    params = jax.tree.map(lambda a: a, params)
+    schedule = LinearSchedule.create(5e-3, 9e-3, 1000)
+
+    def model_fn_factory(p):
+        return lambda x, t, l: net.apply({"params": p}, x, t, l)
+
+    @jax.jit
+    def sample(p, x_t):
+        # steps list 1000,980,...,20 + [1]: 50 scan updates + final eval
+        # = DDIM-50 (50 denoising steps).
+        return ddim_sample(model_fn_factory(p), schedule, x_t,
+                           min_noise=1, max_noise=1000, ddim_step_size=20)
+
+    x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
+                            jnp.float32)
+    sample(params, x_t).block_until_ready()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        out = sample(params, x_t)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    return batch / dt  # images/sec/chip
+
+
+def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
+    from sdm_tpu.enums import Objective
+    from sdm_tpu.ops.schedules import LinearSchedule
+    from sdm_tpu.train import make_optimizer, make_train_step, create_train_state
+
+    net = flagship_net(use_pallas=use_pallas)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    params = net.init(rng, x0, jnp.array([1], jnp.int32))["params"]
+    schedule = LinearSchedule.create(5e-3, 9e-3, 1000)
+    tx = make_optimizer(2e-5, 100_000)
+    state = create_train_state(params, tx)
+
+    apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+    step_fn = jax.jit(
+        make_train_step(apply_fn, schedule, tx, objective=Objective.EPS,
+                        min_noise_step=1, max_actual_noise_step=1000,
+                        flip_imgs=True),
+        donate_argnums=(0,))
+
+    batch_data = {"image": jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32)}
+    state, m = step_fn(state, batch_data, jax.random.PRNGKey(2))  # compile
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        state, m = step_fn(state, batch_data, jax.random.fold_in(
+            jax.random.PRNGKey(3), i))
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / repeats
+    return 1.0 / dt  # steps/sec/chip
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--metric", choices=["ddim50", "train64"],
+                        default="ddim50")
+    parser.add_argument("--batch", type=int, default=None)
+    parser.add_argument("--pallas", action="store_true",
+                        help="Use fused Pallas kernels where available.")
+    parser.add_argument("--train-baseline", type=float, default=5.0,
+                        help="Control steps/sec for the train64 metric.")
+    args = parser.parse_args()
+
+    if args.metric == "ddim50":
+        batch = args.batch or 32
+        value = bench_ddim50(batch, args.pallas)
+        print(json.dumps({
+            "metric": "ddim50_sampling_128x128_images_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(value / 200.0, 4),
+        }))
+    else:
+        batch = args.batch or 128
+        value = bench_train64(batch, args.pallas)
+        print(json.dumps({
+            "metric": "ddpm_train_64x64_steps_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "steps/sec/chip",
+            "vs_baseline": round(value / args.train_baseline, 4),
+        }))
+
+
+if __name__ == "__main__":
+    main()

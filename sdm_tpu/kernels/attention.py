@@ -1,0 +1,114 @@
+"""Fused self-attention Pallas kernel (QK^T -> softmax -> @V in one VMEM pass).
+
+The U-Net's attention runs over flattened H*W token grids (<= 4096 tokens at
+the reference's resolutions — SURVEY.md §5.7), with the reference's quirk of
+softmax over the *query* axis (custom_layers.py:147) in parity mode. XLA
+materializes the S x S score matrix in HBM between the two einsums; this
+kernel keeps scores in VMEM: one grid step per (batch, head), whole-tile
+compute on the MXU with fp32 score accumulation.
+
+Because the score matrix lives in VMEM, the kernel applies when
+S*S*4 + 3*S*D*2 fits the VMEM budget (true for every reference config at
+128x128: S in {256, 1024}); larger grids fall back to the XLA path
+automatically. Backward is a custom VJP that recomputes through the XLA
+reference implementation (rematerialization: trade FLOPs for HBM).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_VMEM_BUDGET_BYTES = 96 * 1024 * 1024  # fallback threshold, conservative
+
+
+def _xla_attention(q, k, v, scale: float, softmax_axis: str):
+    attn = jnp.einsum("bihd,bjhd->bijh", q, k,
+                      preferred_element_type=jnp.float32) * scale
+    axis = 1 if softmax_axis == "q" else 2
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=axis)
+    attn = attn.astype(v.dtype)
+    return jnp.einsum("bijh,bjhd->bihd", attn, v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                 softmax_axis: str):
+    q = q_ref[0]  # (S, D)
+    k = k_ref[0]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # (S_q, S_k) fp32
+    axis = 0 if softmax_axis == "q" else 1
+    s_max = jnp.max(s, axis=axis, keepdims=True)
+    e = jnp.exp(s - s_max)
+    p = e / jnp.sum(e, axis=axis, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _pallas_attention_2d(q2, k2, v2, scale: float, softmax_axis: str):
+    """q2/k2/v2: (BH, S, D) -> (BH, S, D)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, s, d = q2.shape
+    kernel = functools.partial(_attn_kernel, scale=scale,
+                               softmax_axis=softmax_axis)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q2.dtype),
+    )(q2, k2, v2)
+
+
+def _fits_vmem(s: int, d: int, itemsize: int) -> bool:
+    score_bytes = s * s * 4
+    qkv_bytes = 4 * s * d * itemsize  # q,k,v,o tiles
+    return score_bytes + qkv_bytes <= _VMEM_BUDGET_BYTES
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_attention(q, k, v, scale: float, softmax_axis: str = "q"):
+    """q,k,v: (N, S, H, D). Returns (N, S, H, D).
+
+    softmax_axis "q" reproduces the reference's query-axis normalization
+    (custom_layers.py:147); "k" is standard attention.
+    """
+    return _fused_attention_fwd_impl(q, k, v, scale, softmax_axis)
+
+
+def _fused_attention_fwd_impl(q, k, v, scale, softmax_axis):
+    n, s, h, d = q.shape
+    if s < 128 or d % 128 != 0 or not _fits_vmem(s, d, q.dtype.itemsize):
+        return _xla_attention(q, k, v, scale, softmax_axis)
+    to2d = lambda x: x.transpose(0, 2, 1, 3).reshape(n * h, s, d)
+    o2 = _pallas_attention_2d(to2d(q), to2d(k), to2d(v), scale, softmax_axis)
+    return o2.reshape(n, h, s, d).transpose(0, 2, 1, 3)
+
+
+def _fwd(q, k, v, scale, softmax_axis):
+    out = _fused_attention_fwd_impl(q, k, v, scale, softmax_axis)
+    return out, (q, k, v)
+
+
+def _bwd(scale, softmax_axis, residuals, g):
+    q, k, v = residuals
+    # Rematerialized backward through the XLA reference (exact same math).
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale, softmax_axis),
+        q, k, v)
+    return vjp(g)
+
+
+fused_attention.defvjp(_fwd, _bwd)

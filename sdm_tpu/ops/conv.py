@@ -40,16 +40,18 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
     """torch.nn.Conv2d-equivalent: NHWC input, HWIO kernel."""
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
+    # No preferred_element_type upcast: the conv VJP cannot transpose a
+    # bf16-in/fp32-out conv, and the TPU MXU already accumulates bf16
+    # operands in fp32 internally before rounding to the output dtype.
     out = lax.conv_general_dilated(
         x, kernel.astype(x.dtype),
         window_strides=(sh, sw),
         padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out
 
 
 def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
@@ -72,8 +74,7 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMS,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+        out = out + bias.astype(out.dtype)
+    return out
