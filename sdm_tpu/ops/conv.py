@@ -56,17 +56,24 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
 
 def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
                      stride: Union[int, Tuple[int, int]] = 2,
-                     padding: Union[int, Tuple[int, int]] = 1) -> jnp.ndarray:
+                     padding: Union[int, Tuple[int, int]] = 1,
+                     subpixel: bool = False) -> jnp.ndarray:
     """torch.nn.ConvTranspose2d-equivalent: NHWC input, (kh,kw,in,out) kernel
-    in torch orientation (not pre-flipped).
+    in torch orientation (not pre-flipped). Output H = (H-1)*s - 2p + k.
 
-    Implemented as the equivalent lhs-dilated convolution:
-      out = conv(dilate_s(x) padded by (k-1-p), flip_hw(kernel))
-    which gives H_out = (H-1)*s - 2p + k, matching torch.
+    `subpixel=True` routes the U-Net's upsample shape (k=4, s=2, p=1 —
+    custom_layers.py:174-179) through the subpixel/phase decomposition (one
+    stride-1 2x2 conv with 4*C_out channels + space interleave, exactly 1/4
+    the naive MACs). Measured on TPU v5e it is ~5% SLOWER than the dilated
+    form — XLA's TPU conv emitter already skips dilation zeros — so it stays
+    opt-in; kept for architectures/backends where the dilated path is naive.
     """
     sh, sw = _pair(stride)
     ph, pw = _pair(padding)
     kh, kw = kernel.shape[0], kernel.shape[1]
+    if (subpixel and (sh, sw) == (2, 2) and (kh, kw) == (4, 4)
+            and (ph, pw) == (1, 1)):
+        return _conv_transpose_k4s2p1_subpixel(x, kernel, bias)
     flipped = kernel[::-1, ::-1]
     out = lax.conv_general_dilated(
         x, flipped.astype(x.dtype),
@@ -75,6 +82,31 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMS,
     )
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out
+
+
+def _conv_transpose_k4s2p1_subpixel(x: jnp.ndarray, kernel: jnp.ndarray,
+                                    bias) -> jnp.ndarray:
+    """out[2i+a, 2j+b] = sum_{u,v} Kf[2u+a, 2v+b] * xp[i+u+a-?...] — derived:
+    with Kf = flip(kernel) and xp = pad(x, 1), phase (a, b) of the output is
+    a 2x2 valid conv of xp with Kf[a::2, b::2], read at offset (a, b)."""
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    kf = kernel[::-1, ::-1]
+    # (2,2,cin,4*cout): phase order (a,b) = (0,0),(0,1),(1,0),(1,1).
+    k2 = jnp.concatenate([kf[a::2, b::2]
+                          for a in (0, 1) for b in (0, 1)], axis=-1)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    y = lax.conv_general_dilated(
+        xp, k2.astype(x.dtype), window_strides=(1, 1),
+        padding=((0, 0), (0, 0)), dimension_numbers=_DIMS)  # (n, h+1, w+1, 4c)
+    phases = []
+    for idx, (a, b) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        phases.append(y[:, a:h + a, b:w + b, idx * cout:(idx + 1) * cout])
+    z = jnp.stack(phases, axis=0).reshape(2, 2, n, h, w, cout)
+    out = z.transpose(2, 3, 0, 4, 1, 5).reshape(n, 2 * h, 2 * w, cout)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out

@@ -49,6 +49,7 @@ from sdm_tpu.io.checkpoint import (
     load_params_from_checkpoint, load_optimizer_from_checkpoint)
 from sdm_tpu.io.plotting import plot_sampled_images
 from sdm_tpu.utils import setup_logging
+from sdm_tpu.utils.profiling import StepTimer, trace
 
 
 @dataclasses.dataclass(frozen=True)
@@ -391,8 +392,13 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             logging.info(f"Preview sampling failed: {e}")
 
     # ---- Epoch loop (train_diffusion.py:288-495) ----
+    # Observability beyond the reference (SURVEY.md §5.1): steps/sec rate
+    # logging + optional jax.profiler trace via config "profile_trace_dir".
+    timer = StepTimer()
     last_loss = float("nan")
     stop = False
+    profile_ctx = trace(config_dict.get("profile_trace_dir"))
+    profile_ctx.__enter__()
     for epoch in range(starting_epoch, max_epoch):
         total_diffusion_loss = 0.0
         training_count = 0
@@ -404,6 +410,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 mesh)
             state, metrics = step_fn(state, device_batch, step_rng)
             loss = float(metrics["loss"])
+            timer.tick()
             if np.isnan(loss):
                 raise Exception("NaN encountered during training")
             last_loss = loss
@@ -412,6 +419,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             if global_steps % checkpoint_steps == 0 and global_steps >= 0:
                 rng, prev_rng = jax.random.split(rng)
                 checkpoint_and_preview(state, prev_rng, global_steps)
+                sps = timer.steps_per_sec()
+                if np.isfinite(sps):
+                    logging.info(
+                        "Rate: {:.3f} steps/sec | {:.1f} imgs/sec".format(
+                            sps, sps * batch_size))
 
             temp_avg = total_diffusion_loss / training_count
             logging.info(
@@ -443,6 +455,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if stop:
             break
 
+    profile_ctx.__exit__(None, None, None)
     return {"global_steps": global_steps, "last_loss": last_loss,
             "state": state}
 

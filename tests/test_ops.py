@@ -56,3 +56,17 @@ def test_group_norm_matches_torch():
         np.testing.assert_allclose(np.asarray(ours),
                                    theirs.numpy().transpose(0, 2, 3, 1),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_conv_transpose2d_subpixel_matches_dilated():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 6, 6, 8)).astype(np.float32)
+    w = rng.standard_normal((8, 16, 4, 4)).astype(np.float32)
+    b = rng.standard_normal((16,)).astype(np.float32)
+    k = jnp.asarray(w.transpose(2, 3, 0, 1))
+    base = conv_transpose2d(jnp.asarray(x), k, jnp.asarray(b),
+                            stride=2, padding=1)
+    sub = conv_transpose2d(jnp.asarray(x), k, jnp.asarray(b),
+                           stride=2, padding=1, subpixel=True)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(base),
+                               rtol=1e-4, atol=1e-5)
