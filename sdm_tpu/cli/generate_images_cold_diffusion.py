@@ -65,7 +65,11 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
     noise = None
     x0_approx = None
     img_h = img_w = None
-    for model_dict in models_details["models"]:
+    num_models = len(models_details["models"])
+    for model_index, model_dict in enumerate(models_details["models"]):
+        log(f"Sampling model {model_index + 1} / {num_models}: "
+            f"{model_dict['model_name']} "
+            f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
         model_fn, schedule, _ = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"])
 

@@ -111,7 +111,11 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     noise = None
     x_t = None
     img_h = img_w = None
-    for model_dict in models_details["models"]:
+    num_models = len(models_details["models"])
+    for model_index, model_dict in enumerate(models_details["models"]):
+        log(f"Sampling model {model_index + 1} / {num_models}: "
+            f"{model_dict['model_name']} "
+            f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
         if noise is None:
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
                                    model_dict["img_W"])

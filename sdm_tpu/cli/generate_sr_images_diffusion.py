@@ -87,7 +87,11 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     x0_approx_upsample = None
     x_t_cond_input = None
     img_h = img_w = None
-    for model_dict in models_details["models"]:
+    num_models = len(models_details["models"])
+    for model_index, model_dict in enumerate(models_details["models"]):
+        log(f"Sampling model {model_index + 1} / {num_models}: "
+            f"{model_dict['model_name']} "
+            f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
         model_fn, schedule, _ = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"])
 
