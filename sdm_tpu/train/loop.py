@@ -384,6 +384,9 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             lr=float(lr_of(jnp.asarray(int(steps)))))
         save_model(ckpt, "diffusion", out_dir, checkpoint=True,
                    steps=int(steps), log=logging.info)
+        if config_dict.get("native_checkpoint"):
+            from sdm_tpu.io.orbax_ckpt import save_native
+            save_native(state, out_dir, int(steps))
         try:
             imgs = run_preview(state.params, rng_key)
             plot_sampled_images(imgs, f"diffusion_plot_{int(steps)}",

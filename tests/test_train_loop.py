@@ -137,3 +137,22 @@ def test_conditional_training_with_labels_txt(tmp_path):
     result = run_training(BASE_SPEC, cfg, max_steps=2)
     assert result["global_steps"] == 2
     assert os.path.exists(str(tmp_path / "out" / "labels.txt"))
+
+
+def test_ensemble_range_training_and_native_checkpoint(tmp_path):
+    """max_actual_noise_step < max_noise_step (eDiff-I-style range
+    specialization) exercises the q_sampled-plot-images preview branch;
+    native_checkpoint=True additionally writes an Orbax checkpoint."""
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, max_noise_step=10, max_actual_noise_step=8,
+                       skip_step=4, native_checkpoint=True)
+    result = run_training(BASE_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
+    native = glob.glob(str(tmp_path / "out" / "checkpoint" / "native_*"))
+    assert native
+    from sdm_tpu.io.orbax_ckpt import load_native
+    import jax
+    restored = load_native(native[0], jax.tree.map(np.asarray,
+                                                   result["state"]))
+    assert restored is not None
