@@ -147,3 +147,24 @@ def test_merge_partial_params_skips_mismatches():
     np.testing.assert_array_equal(
         merged["middle_layer_0"]["conv_layer_0"]["kernel"],
         converted["middle_layer_0"]["conv_layer_0"]["kernel"])
+
+
+def test_unet_forward_parity_multihead_attention():
+    """heads>1 + explicit dim_per_head exercises the qkv reshape/split and
+    output-projection paths that the default (heads=1, d_k=channels) never
+    touches (custom_layers.py:116-153)."""
+    cfg = dict(SMALL, num_heads=4, dim_per_head=16, num_resnet_blocks=1)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([250, 750], dtype=np.int64)
+    ours, theirs, *_ = _run_pair(cfg, x, t)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
+
+
+def test_unet_forward_parity_deeper_resnet():
+    cfg = dict(SMALL, num_resnet_blocks=3, num_layers=1, attn_layers=[0])
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 8, 8, 3)).astype(np.float32)
+    t = np.array([42], dtype=np.int64)
+    ours, theirs, *_ = _run_pair(cfg, x, t)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=2e-4)
