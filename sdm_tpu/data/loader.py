@@ -71,27 +71,45 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Bounded put that gives up if the consumer abandoned the epoch
+            # (e.g. early break) so the producer thread can exit.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for b in batches:
+                        if stop.is_set():
+                            return
                         samples = list(pool.map(self.dataset.__getitem__, b))
-                        q.put(_collate(samples))
+                        if not _put(_collate(samples)):
+                            return
             except Exception as e:  # surface decode errors to the consumer
-                q.put(e)
+                _put(e)
             finally:
-                q.put(sentinel)
+                _put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
 
         def gen():
-            while True:
-                item = q.get()
-                if item is sentinel:
-                    break
-                if isinstance(item, Exception):
-                    raise item
-                yield item
+            try:
+                while True:
+                    item = q.get()
+                    if item is sentinel:
+                        break
+                    if isinstance(item, Exception):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
         return gen()
