@@ -30,6 +30,9 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
     parser.add_argument("--device", choices=["cpu", "cuda", "tpu"], type=str,
                         default="tpu",
                         help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Data-parallel devices for batched sampling "
+                             "(default: largest count dividing the batch).")
     parser.add_argument("-c", "--config", required=True, type=pathlib.Path,
                         help="File path to load config file.")
     parser.add_argument("-s", "--seed", type=int, default=None,
@@ -62,6 +65,12 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
 
     models_details, folder = load_bundle_config(args["config"])
 
+    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
+    mesh = auto_data_mesh(args["num_images"], args["num_devices"])
+    dp_sharding = batch_sharding(mesh)
+    def dp(x):
+        return jax.device_put(x, dp_sharding) if x is not None else None
+
     noise = None
     x0_approx = None
     img_h = img_w = None
@@ -77,8 +86,8 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
                                    model_dict["img_W"])
             rng, nk = jax.random.split(rng)
-            noise = jax.random.normal(
-                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32)
+            noise = dp(jax.random.normal(
+                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32))
             x_t = 1 * noise
         else:
             # Ensemble chaining: re-degrade previous x0 to this model's

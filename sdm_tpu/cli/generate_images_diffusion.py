@@ -50,6 +50,9 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     parser.add_argument("--device", choices=["cpu", "cuda", "tpu"], type=str,
                         default="tpu",
                         help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Data-parallel devices for batched sampling "
+                             "(default: largest count dividing the batch).")
     parser.add_argument("-c", "--config", required=True, type=pathlib.Path,
                         help="File path to config file.")
     parser.add_argument("-s", "--seed", type=int, default=None,
@@ -108,6 +111,12 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
 
     models_details, folder = load_bundle_config(args["config"])
 
+    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
+    mesh = auto_data_mesh(args["num_images"], args["num_devices"])
+    dp_sharding = batch_sharding(mesh)
+    def dp(x):
+        return jax.device_put(x, dp_sharding) if x is not None else None
+
     noise = None
     x_t = None
     img_h = img_w = None
@@ -120,8 +129,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
                                    model_dict["img_W"])
             rng, nk = jax.random.split(rng)
-            noise = jax.random.normal(
-                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32)
+            noise = dp(jax.random.normal(
+                nk, (args["num_images"], img_h, img_w, img_c), jnp.float32))
             x_t = 1 * noise
 
         if model_dict["cond_dim"] is not None:
@@ -141,14 +150,14 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 model_fn, schedule, xt, rng=k,
                 min_noise=model_dict["min_noise"],
                 max_noise=model_dict["max_noise"],
-                cond_img=c, labels=l))(x_t, sk, labels, cond_img)
+                cond_img=c, labels=l))(x_t, sk, labels, dp(cond_img))
         elif args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower():
             x_t = jax.jit(lambda xt, l, c: ddim_sample(
                 model_fn, schedule, xt,
                 min_noise=model_dict["min_noise"],
                 max_noise=model_dict["max_noise"],
                 ddim_step_size=args["ddim_step_size"],
-                cond_img=c, labels=l))(x_t, labels, cond_img)
+                cond_img=c, labels=l))(x_t, labels, dp(cond_img))
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
 

@@ -37,6 +37,9 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     parser.add_argument("--device", choices=["cpu", "cuda", "tpu"], type=str,
                         default="tpu",
                         help="Hardware device hint (JAX selects the backend).")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Data-parallel devices for batched sampling "
+                             "(default: largest count dividing the batch).")
     parser.add_argument("-c", "--config", required=True, type=pathlib.Path,
                         help="File path to load config file.")
     parser.add_argument("-s", "--seed", type=int, default=None,
@@ -81,6 +84,12 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     lr_img = jnp.asarray(lr_img)[None]                     # (1,H,W,C)
 
     models_details, folder = load_bundle_config(args["config"])
+
+    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
+    mesh = auto_data_mesh(1, args["num_devices"])
+    dp_sharding = batch_sharding(mesh)
+    def dp(x):
+        return jax.device_put(x, dp_sharding) if x is not None else None
 
     noise = None
     x0_approx_delta = None

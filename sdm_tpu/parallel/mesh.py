@@ -42,3 +42,16 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Device-put a (possibly nested) host batch with axis-0 sharding."""
     sharding = batch_sharding(mesh, axis_name)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def auto_data_mesh(batch_size: int, num_devices: Optional[int] = None) -> Mesh:
+    """1-D data mesh sized to the largest device count dividing batch_size
+    (or exactly num_devices when given)."""
+    if num_devices is None:
+        avail = len(jax.devices())
+        num_devices = max(d for d in range(1, avail + 1)
+                          if batch_size % d == 0)
+    if batch_size % num_devices != 0:
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by {num_devices} devices")
+    return make_mesh(num_devices)

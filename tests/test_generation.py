@@ -191,3 +191,20 @@ def test_generator_saves_grid(tmp_path, monkeypatch):
     assert out is None
     import glob as g
     assert g.glob(str(dest / "plots" / "*.jpg"))
+
+
+def test_ddim_generator_dp_sampling_matches_single_device(tmp_path):
+    """--num-devices 8 (batch sharded over the data mesh) must reproduce the
+    single-device output exactly (same seed, deterministic DDIM)."""
+    _, p = _save_ref_ckpt(tmp_path, "dp.pt", seed=8)
+    bundle = export_bundle("dpmodel", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(1, 10), p)])
+    config = os.path.join(bundle, "config.json")
+    common = ["-c", config, "-n", "8", "--diff_alg", "ddim",
+              "--ddim_step_size", "4", "-s", "123"]
+    out1 = generate_images_diffusion(common + ["--num-devices", "1"],
+                                     save_locally=False)
+    out8 = generate_images_diffusion(common + ["--num-devices", "8"],
+                                     save_locally=False)
+    np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-6)
