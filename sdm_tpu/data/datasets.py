@@ -22,27 +22,60 @@ import numpy as np
 from sdm_tpu.data.tinydb_compat import read_tables
 
 
-def _imread_norm(path: str) -> np.ndarray:
+def _imread_u8(path: str) -> np.ndarray:
     import cv2
     img = cv2.imread(path)
     if img is None:
         raise FileNotFoundError(f"cv2 failed to read image: {path}")
-    return ((img.astype(np.float32) - 127.5) / 127.5)  # HWC, BGR, [-1,1]
+    return img  # HWC, BGR, uint8
+
+
+def _norm(img_u8: np.ndarray) -> np.ndarray:
+    return (img_u8.astype(np.float32) - 127.5) / 127.5  # [-1, 1]
+
+
+class _DecodeCache:
+    """Optional in-RAM cache of decoded uint8 images.
+
+    The reference re-decodes every image every epoch
+    (img_dataset.py:26-29); on hosts where decode is the training
+    bottleneck, caching the (much smaller) uint8 pixels and normalizing at
+    batch time keeps the accelerator fed. Thread-safe for the loader's
+    decode pool (dict ops are atomic; duplicate decodes are benign)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self._cache = {}
+
+    def read(self, path: str) -> np.ndarray:
+        if not self.enabled:
+            return _norm(_imread_u8(path))
+        img = self._cache.get(path)
+        if img is None:
+            img = _imread_u8(path)
+            self._cache[path] = img
+        return _norm(img)
+
+
+def _imread_norm(path: str) -> np.ndarray:
+    return _norm(_imread_u8(path))
 
 
 class ImageDataset:
     """Plain list-of-paths image dataset (img_dataset.py:10-39)."""
 
-    def __init__(self, img_paths: Sequence[str] = (), return_filepaths: bool = False):
+    def __init__(self, img_paths: Sequence[str] = (), return_filepaths: bool = False,
+                 cache_decoded: bool = False):
         self.img_paths = list(img_paths)
         self.return_filepaths = return_filepaths
+        self._cache = _DecodeCache(cache_decoded)
 
     def __len__(self) -> int:
         return len(self.img_paths)
 
     def __getitem__(self, index: int):
         path = self.img_paths[index]
-        img = _imread_norm(path)
+        img = self._cache.read(path)
         if self.return_filepaths:
             return {"image": img, "path": path}
         return {"image": img}
@@ -53,7 +86,8 @@ class ConditionalImgDataset:
     table `Data` rows carry `filename` + one float field per label name from
     table `Labels`."""
 
-    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None):
+    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None,
+                 cache_decoded: bool = False):
         tables = read_tables(dataset_path)
         data_rows = tables.get("Data", [])
         if len(data_rows) <= 0:
@@ -67,6 +101,7 @@ class ConditionalImgDataset:
         self.dataset: List[Tuple[str, List[float]]] = [
             (row["filename"], [float(row[lbl]) for lbl in self.all_labels])
             for row in data_rows]
+        self._cache = _DecodeCache(cache_decoded)
 
     def get_labels(self) -> List[str]:
         return self.all_labels
@@ -76,7 +111,7 @@ class ConditionalImgDataset:
 
     def __getitem__(self, index: int):
         path, labels = self.dataset[index]
-        return {"image": _imread_norm(path),
+        return {"image": self._cache.read(path),
                 "labels": np.asarray(labels, dtype=np.float32)}
 
 
@@ -85,7 +120,8 @@ class DoodleImgDataset:
     `Data` rows map `filename` -> cond-image path stored under the first
     label name."""
 
-    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None):
+    def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None,
+                 cache_decoded: bool = False):
         tables = read_tables(dataset_path)
         data_rows = tables.get("Data", [])
         if len(data_rows) <= 0:
@@ -99,6 +135,7 @@ class DoodleImgDataset:
         label = self.all_labels[0]
         self.dataset: List[Tuple[str, str]] = [
             (row["filename"], row[label]) for row in data_rows]
+        self._cache = _DecodeCache(cache_decoded)
 
     def get_labels(self) -> List[str]:
         return self.all_labels
@@ -108,5 +145,5 @@ class DoodleImgDataset:
 
     def __getitem__(self, index: int):
         img_path, cond_path = self.dataset[index]
-        return {"image": _imread_norm(img_path),
-                "cond_img": _imread_norm(cond_path)}
+        return {"image": self._cache.read(img_path),
+                "cond_img": self._cache.read(cond_path)}

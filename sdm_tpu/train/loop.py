@@ -160,15 +160,20 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     setup_logging(out_dir, project_name)
 
     # ---- Dataset & loaders (train_diffusion.py:132-172) ----
+    # cache_dataset=true keeps decoded uint8 pixels in RAM (the reference
+    # re-decodes every epoch; on decode-bound hosts this keeps the chips fed).
+    cache = bool(config_dict.get("cache_dataset", False))
     if spec.dataset == "doodle":
-        dataset = DoodleImgDataset(dataset_path=dataset_path)
+        dataset = DoodleImgDataset(dataset_path=dataset_path,
+                                   cache_decoded=cache)
     elif use_conditional:
-        dataset = ConditionalImgDataset(dataset_path=dataset_path)
+        dataset = ConditionalImgDataset(dataset_path=dataset_path,
+                                        cache_decoded=cache)
     else:
         img_list = glob.glob(dataset_path)
         if len(img_list) == 0:
             raise Exception("No dataset found!")
-        dataset = ImageDataset(img_paths=img_list)
+        dataset = ImageDataset(img_paths=img_list, cache_decoded=cache)
 
     dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
                             num_workers=8)

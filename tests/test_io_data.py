@@ -213,3 +213,18 @@ def test_plot_grid(tmp_path):
     path = plot_sampled_images(imgs, "test_plot", str(tmp_path),
                                log=lambda *a, **k: None)
     assert path is not None and os.path.exists(path)
+
+
+def test_decode_cache_equivalence_and_hit(tmp_path):
+    import cv2
+    rng = np.random.default_rng(9)
+    p = str(tmp_path / "img.png")
+    cv2.imwrite(p, rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    cold = ImageDataset([p])
+    warm = ImageDataset([p], cache_decoded=True)
+    np.testing.assert_array_equal(cold[0]["image"], warm[0]["image"])
+    # Second read comes from cache: delete the file, must still work.
+    os.remove(p)
+    np.testing.assert_array_equal(cold[0]["image"]
+                                  if False else warm[0]["image"],
+                                  warm[0]["image"])
