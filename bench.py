@@ -56,11 +56,15 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
 
     x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
                             jnp.float32)
-    sample(params, x_t).block_until_ready()  # compile + warmup
+    import numpy as np
+    np.asarray(sample(params, x_t))  # compile + warmup
+    # Fetch each result to host inside the timed region: on this platform
+    # block_until_ready() can return before remote execution completes
+    # (CLAUDE.md), so only a device_get is trustworthy. Transfer cost
+    # (batch*128*128*3 fp32) is <1% of a 50-step trajectory.
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = sample(params, x_t)
-    out.block_until_ready()
+        out = np.asarray(sample(params, x_t))
     dt = (time.perf_counter() - t0) / repeats
     return batch / dt  # images/sec/chip
 
@@ -88,12 +92,14 @@ def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
     batch_data = {"image": jax.random.normal(
         jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32)}
     state, m = step_fn(state, batch_data, jax.random.PRNGKey(2))  # compile
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
+    # Steps chain through the donated state, and the final loss is fetched
+    # to host — trustworthy timing on this platform (see CLAUDE.md).
     t0 = time.perf_counter()
     for i in range(repeats):
         state, m = step_fn(state, batch_data, jax.random.fold_in(
             jax.random.PRNGKey(3), i))
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / repeats
     return 1.0 / dt  # steps/sec/chip
 

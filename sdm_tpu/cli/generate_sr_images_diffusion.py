@@ -109,8 +109,8 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
                                    model_dict["img_W"])
             rng, nk = jax.random.split(rng)
-            noise = jax.random.normal(nk, (img_num, img_h, img_w, img_c),
-                                      jnp.float32)
+            noise = dp(jax.random.normal(
+                nk, (img_num, img_h, img_w, img_c), jnp.float32))
             x_t = 1 * noise
             h_lr, w_lr = lr_img.shape[1], lr_img.shape[2]
             if img_h < h_lr or img_w < w_lr:

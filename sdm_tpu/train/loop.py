@@ -40,8 +40,7 @@ from sdm_tpu.ops.schedules import make_schedule
 from sdm_tpu.ops.resize import area_resize
 from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample, cold_sample
 from sdm_tpu.train.step import (
-    make_optimizer, make_train_step, create_train_state, TrainState,
-    reference_lr_schedule)
+    make_optimizer, make_train_step, create_train_state, TrainState)
 from sdm_tpu.parallel import make_mesh, shard_batch, replicated_sharding
 from sdm_tpu.data import ImageDataset, ConditionalImgDataset, DoodleImgDataset, DataLoader
 from sdm_tpu.io.checkpoint import (
@@ -247,17 +246,9 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         state = TrainState(state.step, state.params, opt_state)
 
     # ---- Mesh & sharding ----
-    if num_devices is None:
-        # Auto: largest device count that divides the global batch.
-        avail = len(jax.devices())
-        num_devices = max(d for d in range(1, avail + 1)
-                          if batch_size % d == 0)
-    mesh = make_mesh(num_devices)
+    from sdm_tpu.parallel.mesh import auto_data_mesh
+    mesh = auto_data_mesh(batch_size, num_devices)
     n_dev = mesh.devices.size
-    if batch_size % n_dev != 0:
-        raise ValueError(
-            f"batch_size {batch_size} must be divisible by the mesh size "
-            f"{n_dev} for data-parallel training.")
     state = jax.device_put(state, replicated_sharding(mesh))
 
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
@@ -268,7 +259,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim),
         donate_argnums=(0,))
 
-    lr_of = reference_lr_schedule(diffusion_lr, lr_steps)
+    def lr_of(step_count) -> float:
+        # Pure-python mirror of reference_lr_schedule for logging — avoids
+        # dispatching device ops per log line.
+        s = int(step_count)
+        return float(diffusion_lr) * 0.5 ** max(0, (s - 1) // lr_steps)
 
     # ---- Hyperparameter banner (train_diffusion.py:254-286) ----
     logging.info("#" * 100)
@@ -278,7 +273,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     logging.info(f"Output Path: {out_dir}")
     logging.info(f"Checkpoint Steps: {checkpoint_steps}")
     logging.info(f"Batch size: {batch_size:,}")
-    logging.info(f"Diffusion LR: {float(lr_of(jnp.asarray(global_steps))):.5f}")
+    logging.info(f"Diffusion LR: {lr_of(global_steps):.5f}")
     logging.info(f"Using Conditional Info.: {use_conditional}")
     logging.info(f"Image Augmentation (Random Horizontal Flip): {flip_imgs}")
     logging.info(f"Devices (data mesh): {n_dev}")
@@ -386,7 +381,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                    steps=int(steps), log=logging.info)
         ckpt = diffusion_checkpoint_dict(
             state.params, state.opt_state,
-            lr=float(lr_of(jnp.asarray(int(steps)))))
+            lr=lr_of(steps))
         save_model(ckpt, "diffusion", out_dir, checkpoint=True,
                    steps=int(steps), log=logging.info)
         if config_dict.get("native_checkpoint"):
@@ -437,7 +432,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             logging.info(
                 "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
                     global_steps + 1, index + 1, len(dataloader), temp_avg,
-                    float(lr_of(jnp.asarray(global_steps)))))
+                    lr_of(global_steps)))
             global_steps += 1
             if max_steps is not None and global_steps >= max_steps:
                 stop = True
@@ -453,13 +448,13 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                    steps=global_steps, log=logging.info)
         ckpt = diffusion_checkpoint_dict(
             state.params, state.opt_state,
-            lr=float(lr_of(jnp.asarray(global_steps))))
+            lr=lr_of(global_steps))
         save_model(ckpt, "diffusion", out_dir, checkpoint=True,
                    steps=global_steps, log=logging.info)
         if training_count:
             avg = total_diffusion_loss / training_count
             logging.info("Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
-                epoch, avg, float(lr_of(jnp.asarray(global_steps)))))
+                epoch, avg, lr_of(global_steps)))
         if stop:
             break
 

@@ -64,8 +64,32 @@ def make_optimizer(base_lr: float, lr_steps: int) -> optax.GradientTransformatio
 
 def create_train_state(params, tx: optax.GradientTransformation,
                        step: int = 0) -> TrainState:
+    """Fresh state at `step` (the reference's restored global_steps).
+
+    The LR schedule's count is seeded with `step` so a resumed run applies
+    the same halved LR it logs and checkpoints (continued-run semantics —
+    also what a torch-side resume with load_diffusion_optim=True sees, since
+    exported checkpoints carry the halved lr). Adam's own count stays 0 when
+    the optimizer is not being restored, exactly like the reference's fresh
+    Adam on resume (train_diffusion.py:214-227); restoring the optimizer
+    overwrites all counts (io/torch_interop.torch_adam_to_optax).
+    """
+    opt_state = tx.init(params)
+    if step:
+        count = jnp.asarray(step, jnp.int32)
+
+        def seed_schedule(node):
+            if hasattr(node, "_fields"):
+                if set(node._fields) == {"count"}:
+                    return node._replace(count=count)
+                return type(node)(*[seed_schedule(x) for x in node])
+            if isinstance(node, tuple):
+                return tuple(seed_schedule(x) for x in node)
+            return node
+
+        opt_state = seed_schedule(opt_state)
     return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
-                      opt_state=tx.init(params))
+                      opt_state=opt_state)
 
 
 def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformation,

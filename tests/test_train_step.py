@@ -231,3 +231,28 @@ def test_flip_augmentation_only_flips_width():
     new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(7))
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_resumed_state_applies_halved_lr():
+    """create_train_state(step=s) seeds the LR-schedule count so a resumed
+    run applies the same halved LR it logs/exports (continued-run semantics;
+    Adam moments/bias-correction stay fresh like the reference's new Adam on
+    resume, train_diffusion.py:214-227)."""
+    import optax
+    lr, L = 1e-2, 10
+    tx = make_optimizer(lr, L)
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.full((4,), 0.5)}
+
+    fresh = create_train_state(params, tx, step=0)
+    resumed = create_train_state(params, tx, step=25)  # 2 halvings passed
+
+    up_fresh, _ = tx.update(grads, fresh.opt_state, fresh.params)
+    up_resumed, _ = tx.update(grads, resumed.opt_state, resumed.params)
+    # First Adam update magnitude ~= applied lr (|g| >> eps).
+    ratio = float(jnp.abs(up_resumed["w"][0]) / jnp.abs(up_fresh["w"][0]))
+    np.testing.assert_allclose(ratio, 0.25, rtol=1e-4)
+    # And it matches what the loop logs for step 25.
+    expected = lr * 0.5 ** max(0, (25 - 1) // L)
+    np.testing.assert_allclose(float(jnp.abs(up_resumed["w"][0])), expected,
+                               rtol=1e-3)
