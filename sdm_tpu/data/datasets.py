@@ -41,20 +41,27 @@ class _DecodeCache:
     (img_dataset.py:26-29); on hosts where decode is the training
     bottleneck, caching the (much smaller) uint8 pixels and normalizing at
     batch time keeps the accelerator fed. Thread-safe for the loader's
-    decode pool (dict ops are atomic; duplicate decodes are benign)."""
+    decode pool (dict ops are atomic; duplicate decodes are benign).
 
-    def __init__(self, enabled: bool):
+    With normalized=False the raw uint8 pixels are returned: the training
+    loop ships those to the device (4x less host->device traffic) and the
+    train step normalizes on-device — bit-exact, since (u8 - 127.5)/127.5
+    is the same computation either side of the transfer."""
+
+    def __init__(self, enabled: bool, normalized: bool = True):
         self.enabled = enabled
+        self.normalized = normalized
         self._cache = {}
 
     def read(self, path: str) -> np.ndarray:
         if not self.enabled:
-            return _norm(_imread_u8(path))
-        img = self._cache.get(path)
-        if img is None:
             img = _imread_u8(path)
-            self._cache[path] = img
-        return _norm(img)
+        else:
+            img = self._cache.get(path)
+            if img is None:
+                img = _imread_u8(path)
+                self._cache[path] = img
+        return _norm(img) if self.normalized else img
 
 
 def _imread_norm(path: str) -> np.ndarray:
@@ -65,10 +72,10 @@ class ImageDataset:
     """Plain list-of-paths image dataset (img_dataset.py:10-39)."""
 
     def __init__(self, img_paths: Sequence[str] = (), return_filepaths: bool = False,
-                 cache_decoded: bool = False):
+                 cache_decoded: bool = False, normalized: bool = True):
         self.img_paths = list(img_paths)
         self.return_filepaths = return_filepaths
-        self._cache = _DecodeCache(cache_decoded)
+        self._cache = _DecodeCache(cache_decoded, normalized)
 
     def __len__(self) -> int:
         return len(self.img_paths)
@@ -87,7 +94,7 @@ class ConditionalImgDataset:
     table `Labels`."""
 
     def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None,
-                 cache_decoded: bool = False):
+                 cache_decoded: bool = False, normalized: bool = True):
         tables = read_tables(dataset_path)
         data_rows = tables.get("Data", [])
         if len(data_rows) <= 0:
@@ -101,7 +108,7 @@ class ConditionalImgDataset:
         self.dataset: List[Tuple[str, List[float]]] = [
             (row["filename"], [float(row[lbl]) for lbl in self.all_labels])
             for row in data_rows]
-        self._cache = _DecodeCache(cache_decoded)
+        self._cache = _DecodeCache(cache_decoded, normalized)
 
     def get_labels(self) -> List[str]:
         return self.all_labels
@@ -121,7 +128,7 @@ class DoodleImgDataset:
     label name."""
 
     def __init__(self, dataset_path: Optional[str] = None, seed: Optional[int] = None,
-                 cache_decoded: bool = False):
+                 cache_decoded: bool = False, normalized: bool = True):
         tables = read_tables(dataset_path)
         data_rows = tables.get("Data", [])
         if len(data_rows) <= 0:
@@ -135,7 +142,7 @@ class DoodleImgDataset:
         label = self.all_labels[0]
         self.dataset: List[Tuple[str, str]] = [
             (row["filename"], row[label]) for row in data_rows]
-        self._cache = _DecodeCache(cache_decoded)
+        self._cache = _DecodeCache(cache_decoded, normalized)
 
     def get_labels(self) -> List[str]:
         return self.all_labels

@@ -109,11 +109,18 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
         if cond_t is None or lr_dim is None:
             raise ValueError("RESIDUAL_X0 objective needs cond_t and lr_dim")
 
+    def _denorm(x):
+        # Batches may arrive as raw uint8 pixels (4x less host->device
+        # traffic); normalizing on-device is bit-exact with the host path.
+        if x is not None and x.dtype == jnp.uint8:
+            return (x.astype(jnp.float32) - 127.5) / 127.5
+        return x
+
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
-        images = batch["image"]
+        images = _denorm(batch["image"])
         labels = batch.get("labels")
-        cond_img = batch.get("cond_img")
+        cond_img = _denorm(batch.get("cond_img"))
         n = images.shape[0]
 
         t_key, eps_key, flip_key = jax.random.split(rng, 3)

@@ -256,3 +256,27 @@ def test_resumed_state_applies_halved_lr():
     expected = lr * 0.5 ** max(0, (25 - 1) // L)
     np.testing.assert_allclose(float(jnp.abs(up_resumed["w"][0])), expected,
                                rtol=1e-3)
+
+
+def test_uint8_batch_equals_fp32_batch():
+    """Raw-uint8 batches (device-side normalization) must give the exact
+    same loss as host-normalized fp32 batches."""
+    _, _, net, sched, params, tx, apply_fn = _setup()
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    f32 = (u8.astype(np.float32) - 127.5) / 127.5
+    eps = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    t = np.array([10, 500], dtype=np.int32)
+
+    step_fn = jax.jit(make_train_step(apply_fn, sched, tx,
+                                      objective=Objective.EPS))
+    state = create_train_state(params, tx)
+    _, m_u8 = step_fn(state, {"image": jnp.asarray(u8),
+                              "eps": jnp.asarray(eps), "t": jnp.asarray(t)},
+                      jax.random.PRNGKey(0))
+    state = create_train_state(params, tx)
+    _, m_f32 = step_fn(state, {"image": jnp.asarray(f32),
+                               "eps": jnp.asarray(eps), "t": jnp.asarray(t)},
+                       jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]),
+                               rtol=1e-6)
