@@ -380,6 +380,34 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                               labels_j)
         return np.asarray(x0 + lr_plot)
 
+    # Async checkpointing (config "async_checkpoint": true): snapshot the
+    # state on-device (cheap HBM copy, safe against donation by later steps)
+    # and run the device->host fetch + torch.save + preview on a worker
+    # thread while training continues. On this host the fetch of params +
+    # Adam moments dominates checkpoint latency.
+    import threading
+    async_ckpt = bool(config_dict.get("async_checkpoint", False))
+    ckpt_worker = {"thread": None}
+
+    def submit_checkpoint(state, rng_key, steps):
+        if not async_ckpt:
+            checkpoint_and_preview(state, rng_key, steps)
+            return
+        if ckpt_worker["thread"] is not None:
+            ckpt_worker["thread"].join()  # at most one in flight
+        snap = TrainState(step=state.step,
+                          params=jax.tree.map(jnp.copy, state.params),
+                          opt_state=jax.tree.map(jnp.copy, state.opt_state))
+        t = threading.Thread(target=checkpoint_and_preview,
+                             args=(snap, rng_key, steps), daemon=True)
+        t.start()
+        ckpt_worker["thread"] = t
+
+    def finish_checkpoints():
+        if ckpt_worker["thread"] is not None:
+            ckpt_worker["thread"].join()
+            ckpt_worker["thread"] = None
+
     def checkpoint_and_preview(state, rng_key, steps):
         config_state = {"starting_epoch": starting_epoch,
                         "global_steps": int(steps)}
@@ -445,7 +473,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
             if global_steps % checkpoint_steps == 0 and global_steps >= 0:
                 rng, prev_rng = jax.random.split(rng)
-                checkpoint_and_preview(state, prev_rng, global_steps)
+                submit_checkpoint(state, prev_rng, global_steps)
                 sps = timer.steps_per_sec()
                 if np.isfinite(sps):
                     logging.info(
@@ -463,6 +491,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 break
 
         # End-of-epoch checkpoint (train_diffusion.py:463-495).
+        finish_checkpoints()
         config_state = {"starting_epoch": starting_epoch,
                         "global_steps": global_steps}
         if noise_scheduling == NoiseScheduler.LINEAR:
@@ -482,6 +511,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if stop:
             break
 
+    finish_checkpoints()
     profile_ctx.__exit__(None, None, None)
     return {"global_steps": global_steps, "last_loss": last_loss,
             "state": state}

@@ -156,3 +156,16 @@ def test_ensemble_range_training_and_native_checkpoint(tmp_path):
     restored = load_native(native[0], jax.tree.map(np.asarray,
                                                    result["state"]))
     assert restored is not None
+
+
+def test_async_checkpointing(tmp_path):
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, async_checkpoint=True, max_epoch=2)
+    result = run_training(BASE_SPEC, cfg, max_steps=4)
+    assert result["global_steps"] == 4
+    # All cadence + epoch-end checkpoints present and loadable.
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))
+    assert len(ckpts) >= 2
+    loaded = torch.load(ckpts[-1], map_location="cpu", weights_only=False)
+    assert "model" in loaded and "optimizer" in loaded
+    assert glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
