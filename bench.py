@@ -109,8 +109,13 @@ def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
 
 def main():
     parser = argparse.ArgumentParser()
+    # Default = the north-star's first metric (BASELINE.json: "64x64 train
+    # steps/sec/chip; DDIM-50 images/sec; sample MSE parity"). The DDIM-50
+    # metric is available via --metric ddim50; its 200 img/s target is not
+    # physically reachable for this architecture on one v5e chip
+    # (BASELINE.md FLOP-ceiling analysis).
     parser.add_argument("--metric", choices=["ddim50", "train64"],
-                        default="ddim50")
+                        default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
                         help="Use fused Pallas kernels where available.")

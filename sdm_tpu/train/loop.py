@@ -389,9 +389,9 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     async_ckpt = bool(config_dict.get("async_checkpoint", False))
     ckpt_worker = {"thread": None}
 
-    def submit_checkpoint(state, rng_key, steps):
+    def submit_checkpoint(state, rng_key, steps, with_preview=True):
         if not async_ckpt:
-            checkpoint_and_preview(state, rng_key, steps)
+            checkpoint_and_preview(state, rng_key, steps, with_preview)
             return
         if ckpt_worker["thread"] is not None:
             ckpt_worker["thread"].join()  # at most one in flight
@@ -399,7 +399,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                           params=jax.tree.map(jnp.copy, state.params),
                           opt_state=jax.tree.map(jnp.copy, state.opt_state))
         t = threading.Thread(target=checkpoint_and_preview,
-                             args=(snap, rng_key, steps), daemon=True)
+                             args=(snap, rng_key, steps, with_preview),
+                             daemon=True)
         t.start()
         ckpt_worker["thread"] = t
 
@@ -408,7 +409,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             ckpt_worker["thread"].join()
             ckpt_worker["thread"] = None
 
-    def checkpoint_and_preview(state, rng_key, steps):
+    def checkpoint_and_preview(state, rng_key, steps, with_preview=True):
         config_state = {"starting_epoch": starting_epoch,
                         "global_steps": int(steps)}
         if noise_scheduling == NoiseScheduler.LINEAR:
@@ -424,6 +425,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if config_dict.get("native_checkpoint"):
             from sdm_tpu.io.orbax_ckpt import save_native
             save_native(state, out_dir, int(steps))
+        if not with_preview:
+            return
         try:
             imgs = run_preview(state.params, rng_key)
             plot_sampled_images(imgs, f"diffusion_plot_{int(steps)}",
@@ -490,20 +493,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 stop = True
                 break
 
-        # End-of-epoch checkpoint (train_diffusion.py:463-495).
-        finish_checkpoints()
-        config_state = {"starting_epoch": starting_epoch,
-                        "global_steps": global_steps}
-        if noise_scheduling == NoiseScheduler.LINEAR:
-            config_state["beta_1"] = beta_1
-            config_state["beta_T"] = beta_T
-        save_model(config_state, "config", out_dir, checkpoint=True,
-                   steps=global_steps, log=logging.info)
-        ckpt = diffusion_checkpoint_dict(
-            state.params, state.opt_state,
-            lr=lr_of(global_steps))
-        save_model(ckpt, "diffusion", out_dir, checkpoint=True,
-                   steps=global_steps, log=logging.info)
+        # End-of-epoch checkpoint (train_diffusion.py:463-495); under
+        # async_checkpoint it runs on the worker thread (no preview) so short
+        # epochs don't stall on the device->host parameter fetch.
+        rng, epoch_rng = jax.random.split(rng)
+        submit_checkpoint(state, epoch_rng, global_steps, with_preview=False)
         if training_count:
             avg = total_diffusion_loss / training_count
             logging.info("Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
