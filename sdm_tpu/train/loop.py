@@ -495,9 +495,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
         # End-of-epoch checkpoint (train_diffusion.py:463-495); under
         # async_checkpoint it runs on the worker thread (no preview) so short
-        # epochs don't stall on the device->host parameter fetch.
+        # epochs don't stall on the device->host parameter fetch. Config
+        # "epoch_checkpoint_every": N saves only every N-th epoch (default 1
+        # = reference parity) — with short epochs and slow host links the
+        # parameter fetch otherwise dominates wall time.
         rng, epoch_rng = jax.random.split(rng)
-        submit_checkpoint(state, epoch_rng, global_steps, with_preview=False)
+        every = int(config_dict.get("epoch_checkpoint_every", 1))
+        if every <= 1 or (epoch + 1) % every == 0 or stop or epoch + 1 == max_epoch:
+            submit_checkpoint(state, epoch_rng, global_steps, with_preview=False)
         if training_count:
             avg = total_diffusion_loss / training_count
             logging.info("Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
