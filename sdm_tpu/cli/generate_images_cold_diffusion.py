@@ -21,6 +21,9 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
     import jax
     import jax.numpy as jnp
 
+    from sdm_tpu.utils.jax_setup import setup_jax_cache
+    setup_jax_cache()
+
     from sdm_tpu.diffusion.samplers import cold_sample
     from sdm_tpu.io.bundles import load_bundle_config, build_model_from_bundle
     from sdm_tpu.io.plotting import plot_sampled_images

@@ -40,6 +40,9 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     import jax
     import jax.numpy as jnp
 
+    from sdm_tpu.utils.jax_setup import setup_jax_cache
+    setup_jax_cache()
+
     from sdm_tpu.enums import DiffusionAlg
     from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample
     from sdm_tpu.io.bundles import load_bundle_config, build_model_from_bundle

@@ -27,6 +27,9 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     import jax
     import jax.numpy as jnp
 
+    from sdm_tpu.utils.jax_setup import setup_jax_cache
+    setup_jax_cache()
+
     from sdm_tpu.diffusion.samplers import cold_sample
     from sdm_tpu.ops.resize import area_resize
     from sdm_tpu.io.bundles import load_bundle_config, build_model_from_bundle

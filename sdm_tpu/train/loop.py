@@ -517,6 +517,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
 
 def main(spec: TrainerSpec, raw_args=None):
+    from sdm_tpu.utils.jax_setup import setup_jax_cache
+    setup_jax_cache()
     args = parse_args(spec, raw_args)
     with open(args["config_path"], "r") as f:
         config_dict = json.loads(f.read())
