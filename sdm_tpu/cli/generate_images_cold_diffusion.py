@@ -82,7 +82,7 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         log(f"Sampling model {model_index + 1} / {num_models}: "
             f"{model_dict['model_name']} "
             f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
-        model_fn, schedule, _ = build_model_from_bundle(
+        model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"])
 
         if noise is None:
@@ -106,12 +106,14 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         else:
             labels = None
 
-        x0_approx = jax.jit(lambda xt, nz, l: cold_sample(
-            model_fn, schedule, xt, nz,
+        # params travel as a jit argument (not a closure) so the compiled
+        # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
+        x0_approx = jax.jit(lambda p, xt, nz, l: cold_sample(
+            model_fn_factory(p), schedule, xt, nz,
             min_noise=model_dict["min_noise"],
             max_noise=model_dict["max_noise"],
             skip_step_size=args["cold_step_size"],
-            labels=l))(x_t, noise, labels)
+            labels=l))(params, x_t, noise, labels)
 
     x0_approx = np.asarray(x0_approx)
     if save_locally:

@@ -144,23 +144,25 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         else:
             labels = None
 
-        model_fn, schedule, _ = build_model_from_bundle(
+        model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"])
 
+        # params travel as a jit argument (not a closure) so the compiled
+        # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
         if args["diff_alg"].lower() == DiffusionAlg.DDPM.name.lower():
             rng, sk = jax.random.split(rng)
-            x_t = jax.jit(lambda xt, k, l, c: ddpm_sample(
-                model_fn, schedule, xt, rng=k,
+            x_t = jax.jit(lambda p, xt, k, l, c: ddpm_sample(
+                model_fn_factory(p), schedule, xt, rng=k,
                 min_noise=model_dict["min_noise"],
                 max_noise=model_dict["max_noise"],
-                cond_img=c, labels=l))(x_t, sk, labels, dp(cond_img))
+                cond_img=c, labels=l))(params, x_t, sk, labels, dp(cond_img))
         elif args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower():
-            x_t = jax.jit(lambda xt, l, c: ddim_sample(
-                model_fn, schedule, xt,
+            x_t = jax.jit(lambda p, xt, l, c: ddim_sample(
+                model_fn_factory(p), schedule, xt,
                 min_noise=model_dict["min_noise"],
                 max_noise=model_dict["max_noise"],
                 ddim_step_size=args["ddim_step_size"],
-                cond_img=c, labels=l))(x_t, labels, dp(cond_img))
+                cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
 

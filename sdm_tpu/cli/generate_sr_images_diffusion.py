@@ -104,7 +104,7 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
         log(f"Sampling model {model_index + 1} / {num_models}: "
             f"{model_dict['model_name']} "
             f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
-        model_fn, schedule, _ = build_model_from_bundle(
+        model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"])
 
         if noise is None:
@@ -134,12 +134,14 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
         else:
             labels = None
 
-        x0_approx_delta = jax.jit(lambda xt, nz, c, l: cold_sample(
-            model_fn, schedule, xt, nz,
+        # params travel as a jit argument (not a closure) so the compiled
+        # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
+        x0_approx_delta = jax.jit(lambda p, xt, nz, c, l: cold_sample(
+            model_fn_factory(p), schedule, xt, nz,
             min_noise=model_dict["min_noise"],
             max_noise=model_dict["max_noise"],
             skip_step_size=args["cold_step_size"],
-            cond_img=c, labels=l))(x_t, noise, x_t_cond_input, labels)
+            cond_img=c, labels=l))(params, x_t, noise, x_t_cond_input, labels)
 
     x0_approx = np.asarray(x0_approx_upsample + x0_approx_delta)
     if save_locally:

@@ -36,9 +36,9 @@ def load_bundle_config(config_path: str) -> Tuple[dict, str]:
 
 def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
                             max_T: int, dtype=None):
-    """Returns (model_fn, schedule) for one bundle entry: the UNet with its
-    checkpoint loaded, and the degrader rebuilt from bundle params
-    (generate_images_diffusion.py:187-227)."""
+    """Returns (model_fn_factory, schedule, net, params) for one bundle
+    entry: the UNet with its checkpoint loaded, and the degrader rebuilt
+    from bundle params (generate_images_diffusion.py:187-227)."""
     scheduler_name = str(model_dict["noise_scheduler"])
     schedule = make_schedule(
         scheduler_name,
@@ -61,7 +61,12 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     params = jax.tree.map(jnp.asarray,
                           torch_state_dict_to_params(ckpt["model"]))
 
-    def model_fn(x, t, labels):
-        return net.apply({"params": params}, x, t, labels)
+    # Callers must pass `params` as a jit ARGUMENT and build the model fn
+    # inside the jitted function via model_fn_factory(p). Closing over the
+    # params would embed the whole checkpoint as HLO constants — bloating
+    # the program (and overflowing remote-compile request limits for real
+    # model sizes) and forcing a recompile per ensemble model.
+    def model_fn_factory(p):
+        return lambda x, t, labels: net.apply({"params": p}, x, t, labels)
 
-    return model_fn, schedule, net
+    return model_fn_factory, schedule, net, params
