@@ -84,6 +84,9 @@ def parse_args(spec: TrainerSpec, raw_args=None) -> dict:
                         help="Hardware device hint (JAX selects the backend).")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="Devices for the data mesh (default: all).")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="Stop after this many global steps (smoke runs; "
+                             "default: run to max_epoch).")
     return vars(parser.parse_args(raw_args))
 
 
@@ -442,10 +445,36 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     stop = False
     profile_ctx = trace(config_dict.get("profile_trace_dir"))
     profile_ctx.__enter__()
+
+    # Overlapped loss fetch (config "overlapped_loss_fetch", default true):
+    # the per-step `float(metrics["loss"])` host fetch blocks until the step
+    # finishes, serializing host and device. Deferring the fetch of step k
+    # until after step k+1 is dispatched keeps two steps in flight, hiding
+    # the host's per-step work (RNG split, dataloader, logging) behind device
+    # compute. Log lines stay byte-identical (same values, same order) — the
+    # line for step k is simply emitted one step later in wall time, and the
+    # NaN guard (train_diffusion.py:354-355) fires one step late.
+    overlap_loss = bool(config_dict.get("overlapped_loss_fetch", True))
+
     for epoch in range(starting_epoch, max_epoch):
         total_diffusion_loss = 0.0
         training_count = 0
         batch_iter = iter(dataloader)
+        pending = None  # deferred (metrics, epoch_index, global_steps)
+
+        def process_metrics(metrics, idx, steps_at):
+            nonlocal last_loss, total_diffusion_loss
+            loss = float(metrics["loss"])
+            timer.tick()
+            if np.isnan(loss):
+                raise Exception("NaN encountered during training")
+            last_loss = loss
+            total_diffusion_loss += loss
+            temp_avg = total_diffusion_loss / (idx + 1)
+            logging.info(
+                "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
+                    steps_at + 1, idx + 1, len(dataloader), temp_avg,
+                    lr_of(steps_at)))
 
         def _put(b):
             return shard_batch(
@@ -467,14 +496,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 device_batch = _put(next(batch_iter))
             except StopIteration:
                 device_batch = None
-            loss = float(metrics["loss"])
-            timer.tick()
-            if np.isnan(loss):
-                raise Exception("NaN encountered during training")
-            last_loss = loss
-            total_diffusion_loss += loss
+            if pending is not None:
+                process_metrics(*pending)
+                pending = None
 
-            if global_steps % checkpoint_steps == 0 and global_steps >= 0:
+            is_ckpt = global_steps % checkpoint_steps == 0 and global_steps >= 0
+            if is_ckpt:
+                # Checkpoint steps drain synchronously: the snapshot must be
+                # taken before the post-k state buffer is donated to step k+1.
                 rng, prev_rng = jax.random.split(rng)
                 submit_checkpoint(state, prev_rng, global_steps)
                 sps = timer.steps_per_sec()
@@ -482,16 +511,18 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                     logging.info(
                         "Rate: {:.3f} steps/sec | {:.1f} imgs/sec".format(
                             sps, sps * batch_size))
-
-            temp_avg = total_diffusion_loss / training_count
-            logging.info(
-                "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
-                    global_steps + 1, index + 1, len(dataloader), temp_avg,
-                    lr_of(global_steps)))
+                process_metrics(metrics, index, global_steps)
+            elif overlap_loss and device_batch is not None:
+                pending = (metrics, index, global_steps)
+            else:
+                process_metrics(metrics, index, global_steps)
             global_steps += 1
             if max_steps is not None and global_steps >= max_steps:
                 stop = True
                 break
+        if pending is not None:
+            process_metrics(*pending)
+            pending = None
 
         # End-of-epoch checkpoint (train_diffusion.py:463-495); under
         # async_checkpoint it runs on the worker thread (no preview) so short
@@ -522,4 +553,5 @@ def main(spec: TrainerSpec, raw_args=None):
     args = parse_args(spec, raw_args)
     with open(args["config_path"], "r") as f:
         config_dict = json.loads(f.read())
-    return run_training(spec, config_dict, num_devices=args["num_devices"])
+    return run_training(spec, config_dict, num_devices=args["num_devices"],
+                        max_steps=args["steps"])

@@ -40,3 +40,25 @@ def test_trainer_requires_config(script):
 def test_wizard_importable(script):
     mod = __import__(f"sdm_tpu.cli.{script}", fromlist=["run"])
     assert callable(mod.run)
+
+
+def test_trainer_has_steps_flag():
+    out = subprocess.run(
+        [sys.executable, "train_diffusion.py", "--help"],
+        capture_output=True, text=True, timeout=300,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": "/root", "PYTHONPATH": "/root/repo"})
+    assert out.returncode == 0
+    assert "--steps" in out.stdout
+
+
+def test_console_scripts_resolve():
+    # Every [project.scripts] target in pyproject.toml imports and is callable.
+    import tomllib
+    with open("pyproject.toml", "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) == 11
+    for target in scripts.values():
+        mod_name, func_name = target.split(":")
+        mod = __import__(mod_name, fromlist=[func_name])
+        assert callable(getattr(mod, func_name)), target
