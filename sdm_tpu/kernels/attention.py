@@ -22,7 +22,12 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_VMEM_BUDGET_BYTES = 96 * 1024 * 1024  # fallback threshold, conservative
+# Real per-kernel VMEM on this TPU generation is ~16 MB; leave headroom for
+# Mosaic's pipeline double-buffering. Admits every 128x128-model grid
+# (S in {256, 1024}); S=4096 (256x256 SR models at layer 2) needs a 67 MB
+# score tile and must fall back to XLA — with a larger budget the kernel
+# passes tracing but fails TPU compilation at runtime.
+_VMEM_BUDGET_BYTES = 14 * 1024 * 1024
 
 
 def _xla_attention(q, k, v, scale: float, softmax_axis: str):

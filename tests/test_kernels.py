@@ -53,6 +53,25 @@ def test_attention_fallback_small_or_odd_shapes():
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5)
 
 
+def test_attention_sr_grid_routes_to_xla():
+    """S=4096 (256x256 SR models at layer 2) needs a 67 MB score tile — far
+    over the ~16 MB VMEM — and must take the XLA path. With a larger budget
+    the kernel passes tracing but fails TPU compilation at runtime."""
+    from sdm_tpu.kernels.attention import _fits_vmem
+    assert not _fits_vmem(4096, 512, 2)
+    assert not _fits_vmem(2048, 128, 2)
+    # Every 128x128-model grid stays on the kernel.
+    assert _fits_vmem(1024, 512, 2)
+    assert _fits_vmem(256, 128, 4)
+
+    rng = np.random.default_rng(8)
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 4096, 1, 128))
+                           .astype(np.float32)) for _ in range(3))
+    ours = fused_attention(q, k, v, 128 ** -0.5, "q")
+    ref = _xla_attention(q, k, v, 128 ** -0.5, "q")
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=1e-5)
+
+
 def test_attention_grad_matches_xla():
     rng = np.random.default_rng(3)
     n, s, h, d = 1, 128, 1, 128
