@@ -58,6 +58,10 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
                         help="Conditional Labels.")
     args = vars(parser.parse_args(raw_args))
+    if args["device"] == "cpu":
+        # Honor the reference's --device cpu; "cuda"/"tpu" mean
+        # "the accelerator JAX finds" on this platform.
+        jax.config.update("jax_platforms", "cpu")
 
     rng = jax.random.PRNGKey(args["seed"] if args["seed"] is not None
                              else np.random.SeedSequence().entropy % (2**32))

@@ -32,6 +32,26 @@ def _collate(samples) -> dict:
     return out
 
 
+class DatasetShard:
+    """Per-process view of a dataset for multi-host training: a fixed index
+    subset (strided split from sdm_tpu.parallel.multihost.shard_indices,
+    truncated so every process has the same length — SPMD programs must run
+    in lockstep). Other attributes (e.g. get_labels) delegate to the base."""
+
+    def __init__(self, dataset, indices):
+        self._dataset = dataset
+        self._indices = list(indices)
+
+    def __len__(self):
+        return len(self._indices)
+
+    def __getitem__(self, i):
+        return self._dataset[self._indices[i]]
+
+    def __getattr__(self, name):
+        return getattr(self._dataset, name)
+
+
 class DataLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  num_workers: int = 8, drop_last: bool = True,

@@ -98,6 +98,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     (final step count, last loss) for programmatic use/tests."""
     project_name = spec.project_name
 
+    # Multi-host: join the distributed runtime BEFORE any device query
+    # (config "multihost": true on TPU pods, or SDM_COORDINATOR_ADDRESS env
+    # for explicit launches — see sdm_tpu/parallel/multihost.py).
+    from sdm_tpu.parallel import multihost as mh
+    multi = mh.maybe_initialize(config_dict)
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+
     # ---- Param unpack & validation (parity: train_diffusion.py:57-116) ----
     starting_epoch = 0
     global_steps = 0
@@ -159,7 +167,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     if max_epoch_override is not None:
         max_epoch = max_epoch_override
 
-    setup_logging(out_dir, project_name)
+    if is_main:
+        setup_logging(out_dir, project_name)
+    else:
+        logging.getLogger().setLevel(logging.WARNING)
 
     # ---- Dataset & loaders (train_diffusion.py:132-172) ----
     # cache_dataset=true keeps decoded uint8 pixels in RAM (the reference
@@ -180,7 +191,23 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         dataset = ImageDataset(img_paths=img_list, cache_decoded=cache,
                                normalized=False)
 
-    dataloader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
+    local_batch = batch_size
+    if multi:
+        # batch_size is the GLOBAL batch; each host loads its own shard of
+        # the dataset and contributes batch_size / process_count rows.
+        if batch_size % n_proc:
+            raise ValueError(
+                f"batch size {batch_size} must be divisible by "
+                f"{n_proc} processes")
+        local_batch = batch_size // n_proc
+        from sdm_tpu.data.loader import DatasetShard
+        dataset = DatasetShard(dataset, mh.shard_indices(len(dataset)))
+        if len(dataset) < local_batch:
+            raise ValueError(
+                f"dataset shard of {len(dataset)} items cannot fill a "
+                f"per-host batch of {local_batch}")
+
+    dataloader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
                             num_workers=8)
     plot_loader = DataLoader(dataset,
                              batch_size=min(plot_img_count, len(dataset)),
@@ -197,7 +224,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     plot_labels = plot_batch.get("labels")
     plot_cond_imgs = _host_norm(plot_batch.get("cond_img"))
 
-    if use_conditional and plot_labels is not None:
+    if use_conditional and plot_labels is not None and is_main:
         # labels.txt CSV append (train_diffusion.py:159-169).
         labels_path = os.path.join(out_dir, "labels.txt")
         header = dataset.get_labels()
@@ -259,9 +286,22 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
     # ---- Mesh & sharding ----
     from sdm_tpu.parallel.mesh import auto_data_mesh
-    mesh = auto_data_mesh(batch_size, num_devices)
+    if multi:
+        # All processes run one SPMD program: the mesh must span every
+        # global device, and the global batch must divide across them.
+        n_total = len(jax.devices())
+        if num_devices is not None and num_devices != n_total:
+            raise ValueError(
+                f"multi-host training uses all {n_total} devices")
+        if batch_size % n_total:
+            raise ValueError(
+                f"global batch {batch_size} must be divisible by "
+                f"{n_total} devices")
+        mesh = make_mesh(n_total)
+    else:
+        mesh = auto_data_mesh(batch_size, num_devices)
     n_dev = mesh.devices.size
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state = mh.replicate(state, mesh)
 
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
     step_fn = jax.jit(
@@ -393,6 +433,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     ckpt_worker = {"thread": None}
 
     def submit_checkpoint(state, rng_key, steps, with_preview=True):
+        if not is_main:
+            return  # params are replicated; process 0 owns all host I/O
+        if multi:
+            # Host-local copy first: checkpoint/preview must not launch
+            # collective computations from a single process.
+            state = TrainState(step=np.asarray(state.step),
+                               params=mh.localize(state.params),
+                               opt_state=mh.localize(state.opt_state))
         if not async_ckpt:
             checkpoint_and_preview(state, rng_key, steps, with_preview)
             return
@@ -477,9 +525,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                     lr_of(steps_at)))
 
         def _put(b):
-            return shard_batch(
-                {k: v for k, v in b.items() if isinstance(v, np.ndarray)},
-                mesh)
+            arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+            if multi:
+                return mh.put_global_batch(arrays, mesh)
+            return shard_batch(arrays, mesh)
 
         try:
             device_batch = _put(next(batch_iter))
@@ -543,6 +592,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
     finish_checkpoints()
     profile_ctx.__exit__(None, None, None)
+    mh.barrier("train-end")
     return {"global_steps": global_steps, "last_loss": last_loss,
             "state": state}
 
@@ -551,6 +601,10 @@ def main(spec: TrainerSpec, raw_args=None):
     from sdm_tpu.utils.jax_setup import setup_jax_cache
     setup_jax_cache()
     args = parse_args(spec, raw_args)
+    if args["device"] == "cpu":
+        # Honor the reference's --device cpu (train_diffusion.py:40-44).
+        # "cuda"/"tpu" mean "the accelerator JAX finds" on this platform.
+        jax.config.update("jax_platforms", "cpu")
     with open(args["config_path"], "r") as f:
         config_dict = json.loads(f.read())
     return run_training(spec, config_dict, num_devices=args["num_devices"],
