@@ -55,6 +55,10 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
         # "the accelerator JAX finds" on this platform.
         jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":  # backend already up
+            import warnings
+            warnings.warn("--device cpu ignored: JAX backend "
+                          "already initialized in this process")
 
     rng = jax.random.PRNGKey(args["seed"] if args["seed"] is not None
                              else np.random.SeedSequence().entropy % (2**32))

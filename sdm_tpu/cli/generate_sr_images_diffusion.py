@@ -62,6 +62,10 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
         # "the accelerator JAX finds" on this platform.
         jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":  # backend already up
+            import warnings
+            warnings.warn("--device cpu ignored: JAX backend "
+                          "already initialized in this process")
 
     rng = jax.random.PRNGKey(args["seed"] if args["seed"] is not None
                              else np.random.SeedSequence().entropy % (2**32))

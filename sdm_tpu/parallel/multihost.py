@@ -23,26 +23,34 @@ from typing import Optional
 
 import numpy as np
 
+_initialized = False
+
 
 def maybe_initialize(config_dict: Optional[dict] = None) -> bool:
     """Join the distributed runtime if requested. Returns True when running
-    multi-process. Safe to call more than once."""
+    multi-process. Safe to call more than once (e.g. run_training invoked
+    repeatedly in one process)."""
+    global _initialized
     import jax
 
     explicit = os.environ.get("SDM_COORDINATOR_ADDRESS")
     wanted = bool((config_dict or {}).get("multihost", False)) or bool(explicit)
-    if not wanted:
+    if not wanted or _initialized:
         return jax.process_count() > 1
-    already = getattr(jax.distributed, "global_state", None)
-    if already is not None and already.client is not None:
-        return jax.process_count() > 1
-    if explicit:
-        jax.distributed.initialize(
-            coordinator_address=explicit,
-            num_processes=int(os.environ["SDM_NUM_PROCESSES"]),
-            process_id=int(os.environ["SDM_PROCESS_ID"]))
-    else:
-        jax.distributed.initialize()
+    try:
+        if explicit:
+            jax.distributed.initialize(
+                coordinator_address=explicit,
+                num_processes=int(os.environ["SDM_NUM_PROCESSES"]),
+                process_id=int(os.environ["SDM_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
+    except RuntimeError as e:
+        # jax.distributed exposes no public is-initialized probe; a repeat
+        # call raises "should only be called once" — treat as already joined.
+        if "only be called once" not in str(e):
+            raise
+    _initialized = True
     return jax.process_count() > 1
 
 

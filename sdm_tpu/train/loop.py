@@ -41,7 +41,7 @@ from sdm_tpu.ops.resize import area_resize
 from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample, cold_sample
 from sdm_tpu.train.step import (
     make_optimizer, make_train_step, create_train_state, TrainState)
-from sdm_tpu.parallel import make_mesh, shard_batch, replicated_sharding
+from sdm_tpu.parallel import make_mesh, shard_batch
 from sdm_tpu.data import ImageDataset, ConditionalImgDataset, DoodleImgDataset, DataLoader
 from sdm_tpu.io.checkpoint import (
     save_model, load_checkpoint, diffusion_checkpoint_dict,
@@ -510,12 +510,15 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         batch_iter = iter(dataloader)
         pending = None  # deferred (metrics, epoch_index, global_steps)
 
-        def process_metrics(metrics, idx, steps_at):
-            nonlocal last_loss, total_diffusion_loss
+        def fetch_loss(metrics):
             loss = float(metrics["loss"])
             timer.tick()
             if np.isnan(loss):
                 raise Exception("NaN encountered during training")
+            return loss
+
+        def log_step(loss, idx, steps_at):
+            nonlocal last_loss, total_diffusion_loss
             last_loss = loss
             total_diffusion_loss += loss
             temp_avg = total_diffusion_loss / (idx + 1)
@@ -523,6 +526,9 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
                     steps_at + 1, idx + 1, len(dataloader), temp_avg,
                     lr_of(steps_at)))
+
+        def process_metrics(metrics, idx, steps_at):
+            log_step(fetch_loss(metrics), idx, steps_at)
 
         def _put(b):
             arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
@@ -552,7 +558,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             is_ckpt = global_steps % checkpoint_steps == 0 and global_steps >= 0
             if is_ckpt:
                 # Checkpoint steps drain synchronously: the snapshot must be
-                # taken before the post-k state buffer is donated to step k+1.
+                # taken before the post-k state buffer is donated to step k+1,
+                # and the NaN guard must fire BEFORE anything is persisted
+                # (never save a diverged state), mirroring the reference's
+                # raise-before-checkpoint order (train_diffusion.py:354-400).
+                loss = fetch_loss(metrics)
                 rng, prev_rng = jax.random.split(rng)
                 submit_checkpoint(state, prev_rng, global_steps)
                 sps = timer.steps_per_sec()
@@ -560,7 +570,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                     logging.info(
                         "Rate: {:.3f} steps/sec | {:.1f} imgs/sec".format(
                             sps, sps * batch_size))
-                process_metrics(metrics, index, global_steps)
+                log_step(loss, index, global_steps)
             elif overlap_loss and device_batch is not None:
                 pending = (metrics, index, global_steps)
             else:
@@ -605,6 +615,10 @@ def main(spec: TrainerSpec, raw_args=None):
         # Honor the reference's --device cpu (train_diffusion.py:40-44).
         # "cuda"/"tpu" mean "the accelerator JAX finds" on this platform.
         jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":  # backend was already up
+            import warnings
+            warnings.warn("--device cpu ignored: JAX backend already "
+                          "initialized in this process")
     with open(args["config_path"], "r") as f:
         config_dict = json.loads(f.read())
     return run_training(spec, config_dict, num_devices=args["num_devices"],

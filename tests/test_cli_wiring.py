@@ -54,7 +54,7 @@ def test_trainer_has_steps_flag():
 
 def test_console_scripts_resolve():
     # Every [project.scripts] target in pyproject.toml imports and is callable.
-    import tomllib
+    tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
     with open("pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
     assert len(scripts) == 11

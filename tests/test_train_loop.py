@@ -169,3 +169,22 @@ def test_async_checkpointing(tmp_path):
     loaded = torch.load(ckpts[-1], map_location="cpu", weights_only=False)
     assert "model" in loaded and "optimizer" in loaded
     assert glob.glob(str(tmp_path / "out" / "plots" / "*.jpg"))
+
+
+def test_nan_guard_fires_before_checkpoint_is_written(tmp_path):
+    """Divergence at a checkpoint-cadence step must raise BEFORE that step's
+    state is persisted (reference order, train_diffusion.py:354-400): a user
+    resuming from the newest checkpoint must never get diverged weights."""
+    import pytest
+    _mk_images(tmp_path)
+    # lr=1e30 destroys the params on the step-0 update -> step 1 forward
+    # overflows through GroupNorm into NaN. checkpoint_steps=1 makes every
+    # step a checkpoint step.
+    cfg = _base_config(tmp_path, diffusion_lr=1e30, checkpoint_steps=1,
+                       max_epoch=10)
+    with pytest.raises(Exception, match="NaN"):
+        run_training(BASE_SPEC, cfg, max_steps=10)
+    ckpts = {os.path.basename(p) for p in
+             glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt"))}
+    # Step 0 (pre-divergence) may be checkpointed; the NaN step must not be.
+    assert ckpts <= {"diffusion_0.pt"}, ckpts
