@@ -58,6 +58,10 @@ class UNet(nn.Module):
     # TPU-build extensions (not in the reference constructor):
     parity: bool = True          # reproduce reference quirks bit-for-bit
     use_pallas: bool = False     # fused Pallas attention/AdaGN kernels
+    remat: bool = False          # jax.checkpoint each U-Net block: trade
+    #                              ~1/3 more FLOPs for O(depth) less HBM held
+    #                              across the backward pass (bigger batches /
+    #                              resolutions per chip); numerics unchanged
     dtype: Optional[Dtype] = None  # compute dtype (e.g. jnp.bfloat16)
     param_dtype: Dtype = jnp.float32
 
@@ -91,6 +95,9 @@ class UNet(nn.Module):
         common = dict(groups=self.groups, parity=self.parity,
                       use_pallas=self.use_pallas, dtype=self.dtype,
                       param_dtype=self.param_dtype)
+        # Lifted remat preserves module naming, so checkpoints are identical
+        # with or without it.
+        Block = nn.checkpoint(UNetBlock) if self.remat else UNetBlock
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -111,7 +118,7 @@ class UNet(nn.Module):
 
         skips = []
         for layer_count in range(self.num_layers):
-            x = UNetBlock(
+            x = Block(
                 features=channel_layers[layer_count + 1],
                 num_resnet_blocks=self.num_resnet_blocks,
                 use_attn=layer_count in self.attn_layers,
@@ -130,7 +137,7 @@ class UNet(nn.Module):
 
         for i, layer_count in enumerate(range(self.num_layers - 1, -1, -1)):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = UNetBlock(
+            x = Block(
                 features=channel_layers[layer_count],
                 num_resnet_blocks=self.num_resnet_blocks,
                 use_attn=layer_count in self.attn_layers,
@@ -167,6 +174,7 @@ class UNet(nn.Module):
             min_channel=config["min_channel"],
             max_channel=config["max_channel"],
             image_recon=recon,
+            remat=bool(config.get("remat", False)),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

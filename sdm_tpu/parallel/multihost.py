@@ -73,13 +73,15 @@ def shard_indices(n: int, *, drop_remainder: bool = True):
     return idx[:per] if drop_remainder else idx
 
 
-def put_global_batch(batch, mesh, axis_name: str = "data"):
+def put_global_batch(batch, mesh, axis_name: str = "data", spec=None):
     """Build global device arrays from this process's local batch rows.
-    Local rows must be global_batch_size / process_count per process."""
+    Local rows must be global_batch_size / process_count per process.
+    `spec` overrides the partition spec (e.g. P(None, "data") for
+    gradient-accumulation microbatch stacks)."""
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sharding = NamedSharding(mesh, P(axis_name))
+    sharding = NamedSharding(mesh, spec if spec is not None else P(axis_name))
     return jax.tree.map(
         lambda x: jax.make_array_from_process_local_data(
             sharding, np.asarray(x)),

@@ -284,6 +284,17 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             {"optimizer": pending_optimizer}, state.params, state.opt_state)
         state = TrainState(state.step, state.params, opt_state)
 
+    # Gradient accumulation (config "grad_accum_steps", default 1): the
+    # optimizer still takes one step per global step on the full batch_size
+    # gradient, but activations only ever exist for batch_size/A rows —
+    # bigger effective batches per chip (see train/step.py).
+    grad_accum = int(config_dict.get("grad_accum_steps", 1))
+    if grad_accum < 1 or batch_size % grad_accum:
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by "
+            f"grad_accum_steps {grad_accum}")
+    micro_batch = batch_size // grad_accum
+
     # ---- Mesh & sharding ----
     from sdm_tpu.parallel.mesh import auto_data_mesh
     if multi:
@@ -293,13 +304,13 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if num_devices is not None and num_devices != n_total:
             raise ValueError(
                 f"multi-host training uses all {n_total} devices")
-        if batch_size % n_total:
+        if micro_batch % n_total:
             raise ValueError(
-                f"global batch {batch_size} must be divisible by "
+                f"global microbatch {micro_batch} must be divisible by "
                 f"{n_total} devices")
         mesh = make_mesh(n_total)
     else:
-        mesh = auto_data_mesh(batch_size, num_devices)
+        mesh = auto_data_mesh(micro_batch, num_devices)
     n_dev = mesh.devices.size
     state = mh.replicate(state, mesh)
 
@@ -308,7 +319,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         make_train_step(apply_fn, schedule, tx, objective=spec.objective,
                         min_noise_step=min_noise_step,
                         max_actual_noise_step=max_actual_noise_step,
-                        flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim),
+                        flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim,
+                        grad_accum_steps=grad_accum),
         donate_argnums=(0,))
 
     def lr_of(step_count) -> float:
@@ -532,8 +544,21 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
         def _put(b):
             arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+            spec_p = None
+            if grad_accum > 1:
+                # Pre-split into (A, N/A, ...) microbatch stacks; the step's
+                # lax.scan walks axis 0, devices shard axis 1.
+                from jax.sharding import PartitionSpec as P
+                arrays = {k: v.reshape((grad_accum, v.shape[0] // grad_accum)
+                                       + v.shape[1:])
+                          for k, v in arrays.items()}
+                spec_p = P(None, "data")
             if multi:
-                return mh.put_global_batch(arrays, mesh)
+                return mh.put_global_batch(arrays, mesh, spec=spec_p)
+            if spec_p is not None:
+                from jax.sharding import NamedSharding
+                sh = NamedSharding(mesh, spec_p)
+                return jax.tree.map(lambda x: jax.device_put(x, sh), arrays)
             return shard_batch(arrays, mesh)
 
         try:

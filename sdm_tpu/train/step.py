@@ -98,16 +98,27 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                     max_actual_noise_step: int = 1000,
                     flip_imgs: bool = False,
                     cond_t: Optional[int] = None,
-                    lr_dim: Optional[int] = None) -> Callable:
+                    lr_dim: Optional[int] = None,
+                    grad_accum_steps: int = 1) -> Callable:
     """Build the fused train step.
 
     apply_fn(params, x, t, labels) -> model output.
     batch: {"image": (N,H,W,C) [, "labels": (N,D)] [, "cond_img": (N,H,W,C)]}.
     Returns (new_state, metrics) with metrics["loss"] as an fp32 scalar.
+
+    grad_accum_steps > 1 (config "grad_accum_steps"): the batch arrives
+    pre-split as (A, N/A, ...) and a lax.scan accumulates the mean gradient
+    over the A microbatches before ONE optimizer update — identical
+    semantics to a full-batch step (the MSE mean of means equals the full
+    mean), with activation memory of a single microbatch. Lets a chip train
+    global batches that would not fit, without changing the config's
+    batch_size meaning.
     """
     if objective == Objective.RESIDUAL_X0:
         if cond_t is None or lr_dim is None:
             raise ValueError("RESIDUAL_X0 objective needs cond_t and lr_dim")
+    if grad_accum_steps < 1:
+        raise ValueError("grad_accum_steps must be >= 1")
 
     def _denorm(x):
         # Batches may arrive as raw uint8 pixels (4x less host->device
@@ -116,8 +127,7 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
             return (x.astype(jnp.float32) - 127.5) / 127.5
         return x
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array):
+    def _loss(params, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         images = _denorm(batch["image"])
         labels = batch.get("labels")
         cond_img = _denorm(batch.get("cond_img"))
@@ -163,11 +173,28 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                                        axis=-1)
             target = eps if objective == Objective.EPS else images_f
 
-        def loss_fn(params):
-            pred = apply_fn(params, x_in, t, labels)
-            return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+        pred = apply_fn(params, x_in, t, labels)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        if grad_accum_steps == 1:
+            loss, grads = jax.value_and_grad(_loss)(state.params, batch, rng)
+        else:
+            keys = jax.random.split(rng, grad_accum_steps)
+
+            def micro(carry, xs):
+                g_acc, l_acc = carry
+                mb, key = xs
+                l, g = jax.value_and_grad(_loss)(state.params, mb, key)
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, l_sum), _ = jax.lax.scan(
+                micro, (zeros, jnp.float32(0.0)), (batch, keys))
+            grads = jax.tree.map(lambda x: x / grad_accum_steps, g_sum)
+            loss = l_sum / grad_accum_steps
+
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,

@@ -188,3 +188,13 @@ def test_nan_guard_fires_before_checkpoint_is_written(tmp_path):
              glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt"))}
     # Step 0 (pre-divergence) may be checkpointed; the NaN step must not be.
     assert ckpts <= {"diffusion_0.pt"}, ckpts
+
+
+def test_training_with_grad_accum_and_remat(tmp_path):
+    """Config-driven grad_accum_steps + remat through the full loop."""
+    _mk_images(tmp_path, n=8)
+    cfg = _base_config(tmp_path, batch_size=4, grad_accum_steps=2, remat=True,
+                       checkpoint_steps=1000)
+    result = run_training(BASE_SPEC, cfg, max_steps=2)
+    assert result["global_steps"] == 2
+    assert np.isfinite(result["last_loss"])

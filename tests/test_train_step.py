@@ -280,3 +280,59 @@ def test_uint8_batch_equals_fp32_batch():
                        jax.random.PRNGKey(0))
     np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]),
                                rtol=1e-6)
+
+
+def test_grad_accum_matches_full_batch_step():
+    """grad_accum_steps=2 with the batch pre-split into (2, N/2, ...) must
+    produce the same loss and post-Adam params as one full-batch step (same
+    injected t/eps; MSE mean of equal-size means == full mean)."""
+    _, _, net, sched, params, tx, apply_fn = _setup()
+    rng = np.random.default_rng(7)
+    imgs = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    eps = rng.standard_normal((4, 16, 16, 3)).astype(np.float32)
+    t = np.array([3, 400, 999, 57], dtype=np.int64)
+
+    def run(accum):
+        step = make_train_step(apply_fn, sched, tx, objective=Objective.EPS,
+                               grad_accum_steps=accum)
+        state = create_train_state(jax.tree.map(jnp.asarray, params), tx)
+        batch = {"image": jnp.asarray(imgs), "t": jnp.asarray(t),
+                 "eps": jnp.asarray(eps)}
+        if accum > 1:
+            batch = {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                     for k, v in batch.items()}
+        new_state, m = jax.jit(step)(state, batch, jax.random.PRNGKey(0))
+        return float(m["loss"]), new_state.params
+
+    loss1, p1 = run(1)
+    loss2, p2 = run(2)
+    np.testing.assert_allclose(loss2, loss1, rtol=1e-6)
+    # Adam's m/sqrt(v) normalizer amplifies fp-reassociation noise in tiny
+    # grads; 1e-5 abs is ~1% of a single lr=1e-3 update.
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_remat_unet_matches_plain_forward_and_grads():
+    """remat=True is a pure memory/flops tradeoff: outputs and grads equal,
+    parameter tree identical (checkpoint compatibility)."""
+    cfg = dict(CFG, attn_layers=tuple(CFG["attn_layers"]))
+    net = UNet(**cfg)
+    net_r = UNet(**cfg, remat=True)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    t = jnp.array([5, 900])
+    params = net.init(jax.random.PRNGKey(0), x, t)["params"]
+    assert (jax.tree.structure(params) ==
+            jax.tree.structure(net_r.init(jax.random.PRNGKey(0), x, t)["params"]))
+
+    def loss(n, p):
+        return jnp.mean(n.apply({"params": p}, x, t) ** 2)
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(net, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(net_r, p))(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-7)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
