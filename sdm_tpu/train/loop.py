@@ -172,6 +172,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     else:
         logging.getLogger().setLevel(logging.WARNING)
 
+    # Config "seed" (TPU-build extension, default 0) makes the WHOLE run
+    # deterministic: model init, per-step t/eps/flip draws, dataset shuffles,
+    # and batch order. The reference is unseeded throughout.
+    seed = int(config_dict.get("seed", 0))
+
     # ---- Dataset & loaders (train_diffusion.py:132-172) ----
     # cache_dataset=true keeps decoded uint8 pixels in RAM (the reference
     # re-decodes every epoch; on decode-bound hosts this keeps the chips fed).
@@ -179,10 +184,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     # Training batches carry raw uint8 pixels; the jitted step normalizes
     # on-device (bit-exact, 4x less host->device transfer).
     if spec.dataset == "doodle":
-        dataset = DoodleImgDataset(dataset_path=dataset_path,
+        dataset = DoodleImgDataset(dataset_path=dataset_path, seed=seed,
                                    cache_decoded=cache, normalized=False)
     elif use_conditional:
-        dataset = ConditionalImgDataset(dataset_path=dataset_path,
+        dataset = ConditionalImgDataset(dataset_path=dataset_path, seed=seed,
                                         cache_decoded=cache, normalized=False)
     else:
         img_list = glob.glob(dataset_path)
@@ -208,7 +213,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 f"per-host batch of {local_batch}")
 
     dataloader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
-                            num_workers=8)
+                            num_workers=8, seed=seed)
     plot_loader = DataLoader(dataset,
                              batch_size=min(plot_img_count, len(dataset)),
                              shuffle=(spec.preview == "doodle"),
@@ -239,7 +244,6 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                          str(config_dict.get("compute_dtype", "bfloat16")).lower()]
     net = UNet.from_config(config_dict, dtype=compute_dtype)
 
-    seed = int(config_dict.get("seed", 0))
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     sample_hw = plot_imgs.shape[1:3]

@@ -198,3 +198,16 @@ def test_training_with_grad_accum_and_remat(tmp_path):
     result = run_training(BASE_SPEC, cfg, max_steps=2)
     assert result["global_steps"] == 2
     assert np.isfinite(result["last_loss"])
+
+
+def test_training_is_deterministic_given_seed(tmp_path):
+    """Same config + seed -> identical per-step losses (model init, t/eps
+    draws, dataset shuffle, and batch order are all seeded)."""
+    _mk_images(tmp_path)
+    losses = []
+    for run in range(2):
+        cfg = _base_config(tmp_path, checkpoint_steps=1000, seed=11,
+                           out_dir=str(tmp_path / f"out_{run}"))
+        result = run_training(BASE_SPEC, cfg, max_steps=3)
+        losses.append(result["last_loss"])
+    assert losses[0] == losses[1], losses
