@@ -19,3 +19,12 @@ def test_entry_lowers():
 def test_dryrun_multichip_two_devices():
     assert len(jax.devices()) >= 2
     ge.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_subprocess_16_devices():
+    # 16 > the 8 virtual devices of this test env, so this exercises the
+    # driver-facing path: re-exec on a virtual 16-device CPU mesh in a
+    # subprocess (dp8 x tp2). This is exactly what the driver hits on the
+    # 1-chip TPU host.
+    assert len(jax.devices()) < 16
+    ge.dryrun_multichip(16)
