@@ -18,6 +18,43 @@ import shutil
 import click
 
 
+def _bundle_entry(config_name: str, config_dict: dict, *, img_c: int,
+                  img_h: int, img_w: int, model_type: str) -> dict:
+    """The one source of truth for the bundle `config.json` model schema
+    (key-for-key with reference export_models.py:60-103)."""
+    min_step = config_dict["min_noise_step"]
+    max_step = config_dict["max_noise_step"]
+    entry = {
+        "model_name": f"{config_name}_{min_step}-{max_step}.pt",
+        "img_C": img_c, "img_H": img_h, "img_W": img_w,
+        "in_channel": config_dict["in_channel"],
+        "out_channel": config_dict["out_channel"],
+        "num_layers": config_dict["num_layers"],
+        "num_resnet_block": config_dict["num_resnet_block"],
+        "attn_layers": config_dict["attn_layers"],
+        "attn_heads": config_dict["attn_heads"],
+        "attn_dim_per_head": config_dict["attn_dim_per_head"],
+        "time_dim": config_dict["time_dim"],
+        "cond_dim": config_dict["cond_dim"],
+        "min_channel": config_dict["min_channel"],
+        "max_channel": config_dict["max_channel"],
+        "image_recon": config_dict["img_recon"],
+        "max_noise": max_step,
+        "min_noise": min_step,
+        "noise_scheduler": config_dict["noise_scheduler"],
+        # The reference writes beta_1/beta_T only for "BASE"
+        # (export_models.py:94-99), but its own cold and SR generators read
+        # them for LINEAR schedules (generate_images_cold_diffusion.py:116-121,
+        # generate_sr_images_diffusion.py:143-148) -> KeyError. Always write
+        # them; extra keys are ignored by readers that don't need them.
+        "beta_1": config_dict["beta1"],
+        "beta_T": config_dict["betaT"],
+    }
+    if model_type == "SR":
+        entry["cond_t"] = config_dict["cond_t"]
+    return entry
+
+
 def export_models():
     config_name = click.prompt(
         "Config Name (Will be reflected in model names)?", type=str)
@@ -53,41 +90,11 @@ def export_models():
         with open(config_path, "r") as f:
             config_dict = json.loads(f.read())
 
-        min_step = config_dict["min_noise_step"]
-        max_step = config_dict["max_noise_step"]
-        model_name = f"{config_name}_{min_step}-{max_step}.pt"
+        entry = _bundle_entry(config_name, config_dict, img_c=img_c,
+                              img_h=img_h, img_w=img_w, model_type=model_type)
+        json_vals["models"].append(entry)
 
-        temp_dict = {
-            "model_name": model_name,
-            "img_C": img_c, "img_H": img_h, "img_W": img_w,
-            "in_channel": config_dict["in_channel"],
-            "out_channel": config_dict["out_channel"],
-            "num_layers": config_dict["num_layers"],
-            "num_resnet_block": config_dict["num_resnet_block"],
-            "attn_layers": config_dict["attn_layers"],
-            "attn_heads": config_dict["attn_heads"],
-            "attn_dim_per_head": config_dict["attn_dim_per_head"],
-            "time_dim": config_dict["time_dim"],
-            "cond_dim": config_dict["cond_dim"],
-            "min_channel": config_dict["min_channel"],
-            "max_channel": config_dict["max_channel"],
-            "image_recon": config_dict["img_recon"],
-            "max_noise": max_step,
-            "min_noise": min_step,
-            "noise_scheduler": config_dict["noise_scheduler"],
-        }
-        # The reference writes beta_1/beta_T only for "BASE"
-        # (export_models.py:94-99), but its own cold and SR generators read
-        # them for LINEAR schedules (generate_images_cold_diffusion.py:116-121,
-        # generate_sr_images_diffusion.py:143-148) -> KeyError. Always write
-        # them; extra keys are ignored by readers that don't need them.
-        temp_dict["beta_1"] = config_dict["beta1"]
-        temp_dict["beta_T"] = config_dict["betaT"]
-        if model_type == "SR":
-            temp_dict["cond_t"] = config_dict["cond_t"]
-        json_vals["models"].append(temp_dict)
-
-        dest_path = os.path.join(new_dest_path, model_name)
+        dest_path = os.path.join(new_dest_path, entry["model_name"])
         shutil.copy(model_path, dest_path)
         click.echo(f"Successfully copied model file to {dest_path}.")
 
@@ -105,39 +112,11 @@ def export_bundle(config_name: str, export_dest_path: str, *, img_c: int,
     os.makedirs(new_dest_path, exist_ok=True)
     json_vals = {"models": []}
     for config_dict, model_path in entries:
-        min_step = config_dict["min_noise_step"]
-        max_step = config_dict["max_noise_step"]
-        model_name = f"{config_name}_{min_step}-{max_step}.pt"
-        temp_dict = {
-            "model_name": model_name,
-            "img_C": img_c, "img_H": img_h, "img_W": img_w,
-            "in_channel": config_dict["in_channel"],
-            "out_channel": config_dict["out_channel"],
-            "num_layers": config_dict["num_layers"],
-            "num_resnet_block": config_dict["num_resnet_block"],
-            "attn_layers": config_dict["attn_layers"],
-            "attn_heads": config_dict["attn_heads"],
-            "attn_dim_per_head": config_dict["attn_dim_per_head"],
-            "time_dim": config_dict["time_dim"],
-            "cond_dim": config_dict["cond_dim"],
-            "min_channel": config_dict["min_channel"],
-            "max_channel": config_dict["max_channel"],
-            "image_recon": config_dict["img_recon"],
-            "max_noise": max_step,
-            "min_noise": min_step,
-            "noise_scheduler": config_dict["noise_scheduler"],
-        }
-        # The reference writes beta_1/beta_T only for "BASE"
-        # (export_models.py:94-99), but its own cold and SR generators read
-        # them for LINEAR schedules (generate_images_cold_diffusion.py:116-121,
-        # generate_sr_images_diffusion.py:143-148) -> KeyError. Always write
-        # them; extra keys are ignored by readers that don't need them.
-        temp_dict["beta_1"] = config_dict["beta1"]
-        temp_dict["beta_T"] = config_dict["betaT"]
-        if model_type == "SR":
-            temp_dict["cond_t"] = config_dict["cond_t"]
-        json_vals["models"].append(temp_dict)
-        shutil.copy(model_path, os.path.join(new_dest_path, model_name))
+        entry = _bundle_entry(config_name, config_dict, img_c=img_c,
+                              img_h=img_h, img_w=img_w, model_type=model_type)
+        json_vals["models"].append(entry)
+        shutil.copy(model_path, os.path.join(new_dest_path,
+                                             entry["model_name"]))
     with open(os.path.join(new_dest_path, "config.json"), "w") as f:
         json.dump(json_vals, f)
     return new_dest_path

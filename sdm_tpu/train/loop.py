@@ -238,6 +238,12 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             wr.writerows([header] + [list(map(float, row))
                                      for row in plot_labels])
 
+    if spec.preview == "doodle" and plot_cond_imgs is not None and is_main:
+        # Startup grid of the doodle conditioning images
+        # (train_doodle_diffusion.py:145-150).
+        plot_sampled_images(plot_cond_imgs, "label_plot", dest_path=out_dir,
+                            log=logging.info)
+
     # ---- Model (train_diffusion.py:174-201) ----
     compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None,
                      "fp32": None, "bf16": jnp.bfloat16}[

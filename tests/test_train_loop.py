@@ -112,6 +112,9 @@ def test_doodle_training_end_to_end(tmp_path):
     result = run_training(DOODLE_SPEC, cfg, max_steps=3)
     assert result["global_steps"] == 3
     assert np.isfinite(result["last_loss"])
+    # Startup grid of the doodle conditioning images
+    # (reference train_doodle_diffusion.py:145-150).
+    assert os.path.exists(str(tmp_path / "out" / "plots" / "label_plot.jpg"))
 
 
 def test_sr_training_end_to_end(tmp_path):
