@@ -20,8 +20,10 @@ keeps accumulation in fp32 under bf16 compute.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple, Union
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -73,18 +75,69 @@ def conv_transpose2d(x: jnp.ndarray, kernel: jnp.ndarray, bias=None, *,
     kh, kw = kernel.shape[0], kernel.shape[1]
     if (subpixel and (sh, sw) == (2, 2) and (kh, kw) == (4, 4)
             and (ph, pw) == (1, 1)):
-        return _conv_transpose_k4s2p1_subpixel(x, kernel, bias)
+        out = _conv_transpose_k4s2p1_subpixel(x, kernel, bias)
+    else:
+        out = _conv_transpose_core(x, kernel, (sh, sw), (ph, pw))
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_transpose_core(x, kernel, stride: Tuple[int, int],
+                         padding: Tuple[int, int]):
+    """Bias-less transposed conv with a hand-written VJP.
+
+    XLA's autodiff of the lhs-dilated form materializes a spatially REVERSED
+    copy of the full-resolution output gradient (a 2 GB HLO temp for the
+    256^2 SR flagship at batch 128 — it showed up as `reverse.3` in the OOM
+    allocation dump). A transposed conv is a linear map, and its transpose is
+    just the matching *strided* conv, so dX is one direct conv of g with the
+    io-swapped kernel: no reverse, no dilation, less memory and fewer ops.
+    """
+    return _conv_transpose_fwd(x, kernel, stride, padding)
+
+
+def _conv_transpose_fwd(x, kernel, stride, padding):
+    sh, sw = stride
+    ph, pw = padding
+    kh, kw = kernel.shape[0], kernel.shape[1]
     flipped = kernel[::-1, ::-1]
-    out = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x, flipped.astype(x.dtype),
         window_strides=(1, 1),
         padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
         lhs_dilation=(sh, sw),
         dimension_numbers=_DIMS,
     )
-    if bias is not None:
-        out = out + bias.astype(out.dtype)
-    return out
+
+
+def _conv_transpose_core_fwd(x, kernel, stride, padding):
+    return _conv_transpose_fwd(x, kernel, stride, padding), (x, kernel)
+
+
+def _conv_transpose_core_bwd(stride, padding, residuals, g):
+    x, kernel = residuals
+    sh, sw = stride
+    ph, pw = padding
+    # dX: transpose of (lhs-dilated conv, pad k-1-p, flip(K)) is the strided
+    # conv with pad p and kernel flip(flip(K)) io-swapped = K.swapaxes(2, 3).
+    dx = lax.conv_general_dilated(
+        g, kernel.swapaxes(2, 3).astype(g.dtype),
+        window_strides=(sh, sw),
+        padding=((ph, ph), (pw, pw)),
+        dimension_numbers=_DIMS,
+    ).astype(x.dtype)
+    # dK: weight-grad of a conv between x and g — tiny output (kh,kw,in,out),
+    # XLA handles it without large temps; reuse its rule via jax.vjp on the
+    # kernel-only function.
+    _, kernel_vjp = jax.vjp(
+        lambda kk: _conv_transpose_fwd(x, kk, stride, padding), kernel)
+    (dk,) = kernel_vjp(g)
+    return dx, dk.astype(kernel.dtype)
+
+
+_conv_transpose_core.defvjp(_conv_transpose_core_fwd, _conv_transpose_core_bwd)
 
 
 def _conv_transpose_k4s2p1_subpixel(x: jnp.ndarray, kernel: jnp.ndarray,
