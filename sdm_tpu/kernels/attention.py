@@ -83,6 +83,57 @@ def _fits_vmem(s: int, d: int, itemsize: int) -> bool:
     return score_bytes + qkv_bytes <= _VMEM_BUDGET_BYTES
 
 
+# XLA keeps the S x S score matrix in HBM between the two einsums; below
+# this token count that is measured net-neutral end-to-end (TODO.md), above
+# it the materialization dominates memory (S=4096 at batch 128 OOMs a chip)
+# so the streaming kernel is a measured win and "auto" mode switches over.
+_AUTO_STREAMING_MIN_S = 2048
+
+
+def _kernel_backend() -> bool:
+    """Pallas TPU kernels only compile for real TPU backends; CPU test runs
+    (tests/conftest.py) take the XLA path unless interpret mode is forced."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def attention(q, k, v, scale: float, softmax_axis: str = "q",
+              mode="auto"):
+    """Dispatch over the three attention implementations by static shape.
+
+    q,k,v: (N, S, H, D). `mode` is the model's `use_pallas` setting:
+      False  — always the XLA path (the parity-pinned reference numerics);
+      True   — prefer kernels: whole-tile when it fits VMEM, else the
+               streaming two-pass kernel, else XLA;
+      "auto" — XLA for small grids (kernel is net-neutral there and kernel
+               boundaries break XLA fusion), streaming for S >=
+               _AUTO_STREAMING_MIN_S where XLA's S^2 score materialization
+               OOMs training (the 256^2 SR case, VERDICT.md weakness 3).
+    """
+    n, s, h, d = q.shape
+    if mode is False or not _kernel_backend():
+        return _xla_attention(q, k, v, scale, softmax_axis)
+    from sdm_tpu.kernels import streaming_attention as streaming
+    streams = streaming.supports(s, d, softmax_axis)
+    if mode is True:
+        if s >= 128 and d % 128 == 0 and _fits_vmem(s, d, q.dtype.itemsize):
+            return fused_attention(q, k, v, scale, softmax_axis)
+        if streams:
+            return _streaming_4d(q, k, v, scale)
+        return _xla_attention(q, k, v, scale, softmax_axis)
+    # "auto"
+    if streams and s >= _AUTO_STREAMING_MIN_S:
+        return _streaming_4d(q, k, v, scale)
+    return _xla_attention(q, k, v, scale, softmax_axis)
+
+
+def _streaming_4d(q, k, v, scale: float):
+    from sdm_tpu.kernels.streaming_attention import streaming_attention
+    n, s, h, d = q.shape
+    to2d = lambda x: x.transpose(0, 2, 1, 3).reshape(n * h, s, d)
+    o2 = streaming_attention(to2d(q), to2d(k), to2d(v), scale)
+    return o2.reshape(n, h, s, d).transpose(0, 2, 1, 3)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_attention(q, k, v, scale: float, softmax_axis: str = "q"):
     """q,k,v: (N, S, H, D). Returns (N, S, H, D).

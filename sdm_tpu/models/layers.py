@@ -126,7 +126,7 @@ class TorchGroupNorm(nn.Module):
 
     num_groups: int = 32
     eps: float = 1e-5
-    use_pallas: bool = False
+    use_pallas: Any = False   # only a literal True enables the fused kernel
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -135,7 +135,7 @@ class TorchGroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        if mod_scale is not None and self.use_pallas:
+        if mod_scale is not None and self.use_pallas is True:
             from sdm_tpu.kernels.adagn import fused_adagn
             return fused_adagn(x, scale, bias, mod_scale, mod_shift,
                                self.num_groups, eps=self.eps)
@@ -158,7 +158,7 @@ class AdaGN(nn.Module):
     out_dim: int
     groups: int = 32
     parity: bool = True
-    use_pallas: bool = False
+    use_pallas: Any = "auto"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -239,7 +239,7 @@ class AttentionBlock(nn.Module):
     d_k: Optional[int] = None
     groups: int = 32
     parity: bool = True
-    use_pallas: bool = False
+    use_pallas: Any = "auto"   # False | True | "auto" (see kernels.attention)
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -261,18 +261,10 @@ class AttentionBlock(nn.Module):
         qkv = qkv.reshape(n, h * w, self.heads, 3 * d_k)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        if self.use_pallas:
-            from sdm_tpu.kernels.attention import fused_attention
-            res = fused_attention(q, k, v, scale=scale,
-                                  softmax_axis=("q" if self.parity else "k"))
-        else:
-            attn = jnp.einsum("bihd,bjhd->bijh", q, k,
-                              preferred_element_type=jnp.float32) * scale
-            softmax_axis = 1 if self.parity else 2
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=softmax_axis)
-            attn = attn.astype(v.dtype)
-            res = jnp.einsum("bijh,bjhd->bihd", attn, v,
-                             preferred_element_type=jnp.float32).astype(v.dtype)
+        from sdm_tpu.kernels.attention import attention
+        res = attention(q, k, v, scale=scale,
+                        softmax_axis=("q" if self.parity else "k"),
+                        mode=self.use_pallas)
 
         res = res.reshape(n, h * w, self.heads * d_k)
         res = TorchLinear(c, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -322,7 +314,7 @@ class UNetConvBlock(nn.Module):
     emb_dim: Optional[int] = None
     groups: int = 32
     parity: bool = True
-    use_pallas: bool = False
+    use_pallas: Any = "auto"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -350,7 +342,7 @@ class ResidualBlock(nn.Module):
     emb_dim: Optional[int] = None
     groups: int = 32
     parity: bool = True
-    use_pallas: bool = False
+    use_pallas: Any = "auto"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
@@ -387,27 +379,37 @@ class UNetBlock(nn.Module):
     block_type: UNetBlockType = UNetBlockType.DOWN
     emb_dim: Optional[int] = None
     parity: bool = True
-    use_pallas: bool = False
+    use_pallas: Any = "auto"
+    remat: bool = False   # inner (per-sublayer) checkpoints, see UNet.remat
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        # With remat, each sublayer is its own (nested) checkpoint: the outer
+        # per-UNetBlock remat alone made the block's *backward* rematerialize
+        # every internal tensor of the block at once — at 256^2 batch 128 the
+        # widest up block holds ~8 GB that way (measured from the XLA OOM
+        # allocation dump). Nested inner checkpoints keep only one sublayer's
+        # intermediates live at a time during the outer recompute; lifted
+        # transforms preserve module names, so checkpoints are unaffected.
+        Res = nn.checkpoint(ResidualBlock) if self.remat else ResidualBlock
+        Attn = nn.checkpoint(AttentionBlock) if self.remat else AttentionBlock
+        Smp = (DownsampleBlock if self.block_type == UNetBlockType.DOWN
+               else UpsampleBlock)
+        Smp = nn.checkpoint(Smp) if self.remat else Smp
+
         hidden = x.shape[-1]
         for j in range(self.num_resnet_blocks):
-            x = ResidualBlock(hidden, True, self.emb_dim, self.groups,
-                              self.parity, self.use_pallas, self.dtype,
-                              self.param_dtype, name=f"res_layers_{j}")(x, emb)
+            x = Res(hidden, True, self.emb_dim, self.groups,
+                    self.parity, self.use_pallas, self.dtype,
+                    self.param_dtype, name=f"res_layers_{j}")(x, emb)
             if self.use_attn:
-                x = AttentionBlock(heads=self.num_heads, d_k=self.dim_per_head,
-                                   groups=self.groups, parity=self.parity,
-                                   use_pallas=self.use_pallas, dtype=self.dtype,
-                                   param_dtype=self.param_dtype,
-                                   name=f"attn_layers_{j}")(x)
-        if self.block_type == UNetBlockType.DOWN:
-            x = DownsampleBlock(self.features, self.dtype, self.param_dtype,
-                                name="out_layer")(x)
-        else:
-            x = UpsampleBlock(self.features, self.dtype, self.param_dtype,
-                              name="out_layer")(x)
+                x = Attn(heads=self.num_heads, d_k=self.dim_per_head,
+                         groups=self.groups, parity=self.parity,
+                         use_pallas=self.use_pallas, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name=f"attn_layers_{j}")(x)
+        x = Smp(self.features, self.dtype, self.param_dtype,
+                name="out_layer")(x)
         return x

@@ -57,7 +57,11 @@ class UNet(nn.Module):
     image_recon: bool = False
     # TPU-build extensions (not in the reference constructor):
     parity: bool = True          # reproduce reference quirks bit-for-bit
-    use_pallas: bool = False     # fused Pallas attention/AdaGN kernels
+    use_pallas: Any = "auto"     # Pallas kernels: False=never (pure XLA
+    #                              parity path), True=prefer fused kernels,
+    #                              "auto"=XLA for small grids, streaming
+    #                              attention for S>=2048 token grids where
+    #                              XLA's S^2 score tensor OOMs (256^2 SR)
     remat: bool = False          # jax.checkpoint each U-Net block: trade
     #                              ~1/3 more FLOPs for O(depth) less HBM held
     #                              across the backward pass (bigger batches /
@@ -96,8 +100,38 @@ class UNet(nn.Module):
                       use_pallas=self.use_pallas, dtype=self.dtype,
                       param_dtype=self.param_dtype)
         # Lifted remat preserves module naming, so checkpoints are identical
-        # with or without it.
+        # with or without it. The in/middle/out conv stacks are rematted too:
+        # at 256^2 batch 128 each un-rematted conv+Swish in the full-res
+        # stacks holds a 2.1 GB pre-activation across the backward — extending
+        # remat there is what brings the SR flagship under one chip's HBM
+        # (measured 19.3 GB -> fits; see BASELINE.md memory table).
         Block = nn.checkpoint(UNetBlock) if self.remat else UNetBlock
+
+        # The full-resolution in/out conv stacks are each ONE remat unit: a
+        # per-conv checkpoint would still store the conv-to-conv boundary
+        # (2 GB at 256^2 batch 128); pairing them keeps only the stack input.
+        def in_stack(mdl, xx):
+            xx = UNetConvBlock(channel_layers[0], True, None,
+                               name="in_layer_0", **common)(xx)
+            return UNetConvBlock(channel_layers[0], True, None,
+                                 name="in_layer_1", **common)(xx)
+
+        def mid_stack(mdl, xx):
+            xx = UNetConvBlock(channel_layers[-1], True, None,
+                               name="middle_layer_0", **common)(xx)
+            return UNetConvBlock(channel_layers[-1], True, None,
+                                 name="middle_layer_1", **common)(xx)
+
+        def out_stack(mdl, xx):
+            xx = UNetConvBlock(channel_layers[0], True, None,
+                               name="out_layers_0", **common)(xx)
+            return UNetConvBlock(mdl.out_channel, False, None,
+                                 name="out_layers_1", **common)(xx)
+
+        if self.remat:
+            in_stack = nn.checkpoint(in_stack)
+            mid_stack = nn.checkpoint(mid_stack)
+            out_stack = nn.checkpoint(out_stack)
 
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -111,10 +145,7 @@ class UNet(nn.Module):
             cond_emb = None
             emb_dim = None
 
-        x = UNetConvBlock(channel_layers[0], True, None,
-                          name="in_layer_0", **common)(x)
-        x = UNetConvBlock(channel_layers[0], True, None,
-                          name="in_layer_1", **common)(x)
+        x = in_stack(self, x)
 
         skips = []
         for layer_count in range(self.num_layers):
@@ -125,15 +156,13 @@ class UNet(nn.Module):
                 num_heads=self.num_heads,
                 dim_per_head=self.dim_per_head,
                 block_type=UNetBlockType.DOWN,
+                remat=self.remat,
                 emb_dim=emb_dim,
                 name=f"down_layers_{layer_count}",
                 **common)(x, cond_emb)
             skips.append(x)
 
-        x = UNetConvBlock(channel_layers[-1], True, None,
-                          name="middle_layer_0", **common)(x)
-        x = UNetConvBlock(channel_layers[-1], True, None,
-                          name="middle_layer_1", **common)(x)
+        x = mid_stack(self, x)
 
         for i, layer_count in enumerate(range(self.num_layers - 1, -1, -1)):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
@@ -144,14 +173,12 @@ class UNet(nn.Module):
                 num_heads=self.num_heads,
                 dim_per_head=self.dim_per_head,
                 block_type=UNetBlockType.UP,
+                remat=self.remat,
                 emb_dim=emb_dim,
                 name=f"up_layers_{i}",
                 **common)(x, cond_emb)
 
-        x = UNetConvBlock(channel_layers[0], True, None,
-                          name="out_layers_0", **common)(x)
-        x = UNetConvBlock(self.out_channel, False, None,
-                          name="out_layers_1", **common)(x)
+        x = out_stack(self, x)
         if self.image_recon:
             x = jnp.tanh(x)
         return x
@@ -175,6 +202,7 @@ class UNet(nn.Module):
             max_channel=config["max_channel"],
             image_recon=recon,
             remat=bool(config.get("remat", False)),
+            use_pallas=config.get("use_pallas", "auto"),
         )
         kwargs.update(overrides)
         return cls(**kwargs)

@@ -55,8 +55,9 @@ def test_attention_fallback_small_or_odd_shapes():
 
 def test_attention_sr_grid_routes_to_xla():
     """S=4096 (256x256 SR models at layer 2) needs a 67 MB score tile — far
-    over the ~16 MB VMEM — and must take the XLA path. With a larger budget
-    the kernel passes tracing but fails TPU compilation at runtime."""
+    over the ~16 MB VMEM — so the whole-tile kernel must refuse it (the
+    dispatcher sends it to the streaming two-pass kernel on TPU and to XLA
+    elsewhere; `fused_attention` itself falls back to XLA)."""
     from sdm_tpu.kernels.attention import _fits_vmem
     assert not _fits_vmem(4096, 512, 2)
     assert not _fits_vmem(2048, 128, 2)
@@ -151,3 +152,85 @@ def test_unet_with_pallas_matches_without():
     out_p = net_p.apply({"params": params}, x, t)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out),
                                rtol=2e-3, atol=2e-4)
+
+
+def _streaming_xla_ref(q2, k2, v2, scale):
+    o = _xla_attention(q2[:, :, None, :], k2[:, :, None, :],
+                       v2[:, :, None, :], scale, "q")
+    return o[:, :, 0, :]
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
+def test_streaming_attention_fwd_matches_xla(dtype):
+    """Two-pass streaming kernel == XLA query-axis softmax, multi-tile grid
+    (S=512 with 256-tiles exercises the running-stats and accumulation
+    paths)."""
+    from sdm_tpu.kernels.streaming_attention import streaming_attention
+    rng = np.random.default_rng(10)
+    bh, s, d = 2, 512, 128
+    cast = (lambda a: jnp.asarray(a, jnp.bfloat16)) if dtype == "bfloat16" \
+        else jnp.asarray
+    q, k, v = (cast(rng.standard_normal((bh, s, d)).astype(np.float32))
+               for _ in range(3))
+    ours = streaming_attention(q, k, v, d ** -0.5)
+    ref = _streaming_xla_ref(q, k, v, d ** -0.5)
+    tol = dict(rtol=2e-4, atol=2e-5) if dtype == np.float32 else \
+        dict(rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(ours, np.float32),
+                               np.asarray(ref, np.float32), **tol)
+
+
+def test_streaming_attention_grads_match_xla():
+    """Custom streamed VJP (dQ, dK, dV via tile-recomputed P and the
+    c_j = dV.V softmax-Jacobian correction) == autodiff through XLA."""
+    from sdm_tpu.kernels.streaming_attention import streaming_attention
+    rng = np.random.default_rng(11)
+    bh, s, d = 1, 512, 128
+    q, k, v = (jnp.asarray(rng.standard_normal((bh, s, d)).astype(np.float32))
+               for _ in range(3))
+
+    def loss_s(q, k, v):
+        return jnp.sum(jnp.sin(streaming_attention(q, k, v, d ** -0.5)))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(_streaming_xla_ref(q, k, v, d ** -0.5)))
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_attention_dispatcher_modes(monkeypatch):
+    """mode=False -> always XLA; "auto" -> streaming only at S >= 2048 on a
+    TPU backend; True -> whole-tile when it fits, streaming when not."""
+    import sdm_tpu.kernels.attention as ka
+    calls = []
+    monkeypatch.setattr(ka, "_kernel_backend", lambda: True)
+    monkeypatch.setattr(ka, "_streaming_4d",
+                        lambda q, k, v, scale: calls.append("stream")
+                        or _xla_attention(q, k, v, scale, "q"))
+    monkeypatch.setattr(ka, "fused_attention",
+                        lambda q, k, v, scale, ax: calls.append("tile")
+                        or _xla_attention(q, k, v, scale, ax))
+    rng = np.random.default_rng(12)
+    mk = lambda s, d: tuple(
+        jnp.asarray(rng.standard_normal((1, s, 1, d)).astype(np.float32))
+        for _ in range(3))
+
+    q, k, v = mk(256, 128)
+    ka.attention(q, k, v, 128 ** -0.5, "q", mode=False)
+    assert calls == []                      # parity path: no kernels
+    ka.attention(q, k, v, 128 ** -0.5, "q", mode="auto")
+    assert calls == []                      # small grid: XLA in auto
+    ka.attention(q, k, v, 128 ** -0.5, "q", mode=True)
+    assert calls == ["tile"]                # fits VMEM -> whole-tile
+
+    q, k, v = mk(4096, 128)
+    ka.attention(q, k, v, 128 ** -0.5, "q", mode="auto")
+    assert calls == ["tile", "stream"]      # big grid: streaming in auto
+    ka.attention(q, k, v, 128 ** -0.5, "q", mode=True)
+    assert calls == ["tile", "stream", "stream"]  # no VMEM fit -> streaming
+    ka.attention(q, k, v, 128 ** -0.5, "k", mode="auto")
+    assert calls == ["tile", "stream", "stream"]  # key-axis softmax: XLA
