@@ -1,0 +1,94 @@
+"""Converged-behavior test: train -> checkpoint -> export -> generate as ONE
+pipeline on structured synthetic data, asserting the generated samples
+reproduce the structure.
+
+This is the offline proxy for validating against the reference's released
+checkpoints (reference README.md:154-163, network-blocked here): a small
+U-Net is trained a few hundred steps on a dataset of identical gradient
+images; a well-trained eps-model then DDIM-samples images close to that
+gradient from pure noise. Unlike tests/test_learning.py (loss decreases),
+this pins end-to-end *sample quality* through the real trainer, exporter and
+generator (VERDICT.md missing item 3)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def _gradient_image(hw=8):
+    """Horizontal gradient in [-1, 1], strong structure for the check."""
+    ramp = np.linspace(-0.9, 0.9, hw, dtype=np.float32)
+    img = np.broadcast_to(ramp[None, :, None], (hw, hw, 3)).copy()
+    return img
+
+
+def test_train_export_generate_reproduces_structure(tmp_path):
+    import cv2
+
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    hw = 8
+    target = _gradient_image(hw)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # 32 identical images; uint8 roundtrip like a real dataset.
+    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for i in range(32):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
+    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+
+    # Short schedule with large betas so alpha_bar(T) ~ 0 at T=50 (pure-noise
+    # start stays valid despite few steps).
+    cfg = dict(
+        dataset_path=str(img_dir / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
+        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=2e-3, batch_size=16,  # halving at 600 keeps late steps stable
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=32, min_channel=32, max_channel=64, img_recon=False,
+        compute_dtype="float32", seed=7,
+        epoch_checkpoint_every=1000,
+    )
+    summary = run_training(BASE_SPEC, cfg, max_steps=800)
+    assert np.isfinite(summary["last_loss"])
+
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
+                                 "diffusion_*.pt")),
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    bundle_dir = export_bundle(
+        "conv-test", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
+        model_type="BASE", entries=[(cfg, ckpts[-1])])
+    with open(os.path.join(bundle_dir, "config.json")) as f:
+        assert json.load(f)["models"][0]["max_noise"] == 50
+
+    imgs = generate_images_diffusion(raw_args=[
+        "--num_images", "4", "--device", "cpu",
+        "--diff_alg", "ddim", "--ddim_step_size", "5",
+        "--seed", "3", "--config", os.path.join(bundle_dir, "config.json"),
+        "--dest_path", str(tmp_path),
+    ], log=lambda *a, **k: None, save_locally=False)
+    samples = np.asarray(imgs, np.float32)  # (4, hw, hw, 3) in [-1, 1]-ish
+
+    mse = float(np.mean((samples - target_decoded[None]) ** 2))
+    # Pure noise gives MSE ~ 1 + var(target) ~ 1.3; an untrained model stays
+    # near that, and a half-trained one plateaus ~0.2 (measured sweep, round
+    # 2). The trained pipeline lands at ~0.01.
+    assert mse < 0.05, mse
+    # The horizontal gradient direction must be reproduced: columns increase
+    # left to right.
+    col_means = samples.mean(axis=(0, 1, 3))  # (hw,)
+    corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
+    assert corr > 0.95, corr
