@@ -50,6 +50,12 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
                         help="Number of steps to skip when using cold diffusion.")
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
                         help="Conditional Labels.")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Compute dtype for sampling. float32 matches the "
+                             "reference's inference numerics; bfloat16 runs "
+                             "the trajectory ~2x faster on TPU (params are "
+                             "cast too, halving HBM traffic per model call).")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -90,8 +96,10 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         log(f"Sampling model {model_index + 1} / {num_models}: "
             f"{model_dict['model_name']} "
             f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
+        compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
         model_fn_factory, schedule, _, params = build_model_from_bundle(
-            model_dict, folder, max_T=args["max_T"])
+            model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
+            cast_params=compute_dtype is not None)
 
         if noise is None:
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],

@@ -75,6 +75,12 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                         help="File path to conditional image e.g Doodle image.")
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
                         help="Conditional Labels.")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="Compute dtype for sampling. float32 matches the "
+                             "reference's inference numerics; bfloat16 runs "
+                             "the trajectory ~2x faster on TPU (params are "
+                             "cast too, halving HBM traffic per model call).")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -152,8 +158,10 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         else:
             labels = None
 
+        compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
         model_fn_factory, schedule, _, params = build_model_from_bundle(
-            model_dict, folder, max_T=args["max_T"])
+            model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
+            cast_params=compute_dtype is not None)
 
         # params travel as a jit argument (not a closure) so the compiled
         # program is checkpoint-independent — see sdm_tpu/io/bundles.py.

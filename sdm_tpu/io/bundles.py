@@ -35,10 +35,15 @@ def load_bundle_config(config_path: str) -> Tuple[dict, str]:
 
 
 def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
-                            max_T: int, dtype=None):
+                            max_T: int, dtype=None, cast_params: bool = False):
     """Returns (model_fn_factory, schedule, net, params) for one bundle
     entry: the UNet with its checkpoint loaded, and the degrader rebuilt
-    from bundle params (generate_images_diffusion.py:187-227)."""
+    from bundle params (generate_images_diffusion.py:187-227).
+
+    `dtype` sets the compute dtype (None = fp32, the reference's inference
+    numerics). `cast_params=True` additionally stores the checkpoint weights
+    in that dtype: sampling never updates params, so bf16 params halve the
+    HBM param traffic of every one of the trajectory's model calls."""
     scheduler_name = str(model_dict["noise_scheduler"])
     schedule = make_schedule(
         scheduler_name,
@@ -60,6 +65,11 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
         raise Exception("Failed to load model!")
     params = jax.tree.map(jnp.asarray,
                           torch_state_dict_to_params(ckpt["model"]))
+    if cast_params and dtype is not None:
+        params = jax.tree.map(
+            lambda p: (p.astype(dtype)
+                       if jnp.issubdtype(p.dtype, jnp.floating) else p),
+            params)
 
     # Callers must pass `params` as a jit ARGUMENT and build the model fn
     # inside the jitted function via model_fn_factory(p). Closing over the
