@@ -18,10 +18,29 @@ measured control exists).
 
 import argparse
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# TPU v5e bf16 peak (BASELINE.md FLOP-ceiling analysis); override with
+# --peak-tflops on other chip generations.
+PEAK_TFLOPS = 197.0
+
+
+def compiled_cost_flops(compiled):
+    """HLO FLOPs from an AOT-compiled executable's cost analysis (None when
+    the backend doesn't report it). NOTE: XLA counts a `while`/scan body
+    ONCE, so functions containing scans must scale the result themselves."""
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
 
 
 def flagship_net(dtype=jnp.bfloat16, in_channel=3, use_pallas=False):
@@ -41,7 +60,10 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, 128, 128, 3), jnp.float32)
     params = net.init(rng, x0, jnp.array([1], jnp.int32))["params"]
-    params = jax.tree.map(lambda a: a, params)
+    # Sampling never updates params: store them in the compute dtype (bf16)
+    # so every model call in the trajectory reads half the param bytes from
+    # HBM (the generators' --dtype bfloat16 path does the same).
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     schedule = LinearSchedule.create(5e-3, 9e-3, 1000)
 
     def model_fn_factory(p):
@@ -57,6 +79,14 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
     x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
                             jnp.float32)
     import numpy as np
+    # FLOPs: cost-analyze ONE model call (XLA's cost analysis counts a scan
+    # body once, so analyzing the whole trajectory under-reports ~10x);
+    # DDIM-50 runs 51 model calls and the per-step update math is noise.
+    one_call = jax.jit(lambda p, x: net.apply(
+        {"params": p}, x, jnp.array([500], jnp.int32), None)
+    ).lower(params, x_t).compile()
+    call_flops = compiled_cost_flops(one_call)
+    flops = call_flops * 51 if call_flops else None
     np.asarray(sample(params, x_t))  # compile + warmup
     # Chain repeats through the output (each rep consumes the previous
     # trajectory's result) and fetch once at the end: block_until_ready()
@@ -69,7 +99,7 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
         x = sample(params, x)
     np.asarray(x)
     dt = (time.perf_counter() - t0) / repeats
-    return batch / dt  # images/sec/chip
+    return batch / dt, (flops / dt if flops else None)  # img/s, FLOP/s
 
 
 def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
@@ -94,8 +124,14 @@ def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
 
     batch_data = {"image": jax.random.normal(
         jax.random.PRNGKey(1), (batch, 64, 64, 3), jnp.float32)}
-    state, m = step_fn(state, batch_data, jax.random.PRNGKey(2))  # compile
+    # AOT lower+compile ONCE; the same executable provides the HLO cost
+    # analysis and runs the timed steps (a separate .lower() for the cost
+    # analysis would compile the whole step twice).
+    compiled = step_fn.lower(state, batch_data, jax.random.PRNGKey(2)).compile()
+    flops = compiled_cost_flops(compiled)
+    state, m = compiled(state, batch_data, jax.random.PRNGKey(2))  # warmup
     float(m["loss"])
+    step_fn = compiled
     # Steps chain through the donated state, and the final loss is fetched
     # to host — trustworthy timing on this platform (see CLAUDE.md).
     t0 = time.perf_counter()
@@ -104,42 +140,136 @@ def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
             jax.random.PRNGKey(3), i))
     float(m["loss"])
     dt = (time.perf_counter() - t0) / repeats
-    return 1.0 / dt  # steps/sec/chip
+    return 1.0 / dt, (flops / dt if flops else None)  # steps/s, FLOP/s
+
+
+def bench_train64_e2e(batch: int, steps: int = 75) -> float:
+    """End-to-end training rate: real JPEG images decoded on the host and fed
+    through the DataLoader into run_training (the reference's actual hot loop,
+    train_diffusion.py:295-366) — measures the full pipeline, not just the
+    device step. Returns steps/sec (sliding window excluding the compile
+    step)."""
+    import os
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+
+    data_dir = "/tmp/sdm_bench_data64"
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    # One epoch covers the whole measurement: 4-step epochs were dominated
+    # by per-epoch DataLoader restarts no real run (1000s-of-step epochs)
+    # ever sees.
+    n_imgs = steps * batch
+    if len([f for f in os.listdir(data_dir) if f.endswith(".jpg")]) < n_imgs:
+        for i in range(n_imgs):
+            cv2.imwrite(os.path.join(data_dir, f"im_{i}.jpg"),
+                        rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+
+    out_dir = tempfile.mkdtemp(prefix="sdm_bench_out_")
+    cfg = dict(
+        dataset_path=os.path.join(data_dir, "*.jpg"),
+        use_conditional=False, cond_dim=None, out_dir=out_dir,
+        checkpoint_steps=10_000_000, lr_steps=100_000,
+        max_epoch=2, plot_img_count=4,
+        flip_imgs=True, model_checkpoint=None, load_diffusion_optim=False,
+        config_checkpoint=None, diffusion_lr=2e-5, batch_size=batch,
+        noise_scheduler="LINEAR", beta1=5e-3, betaT=9e-3,
+        diffusion_alg="DDIM", skip_step=100, min_noise_step=1,
+        max_noise_step=1000, max_actual_noise_step=1000,
+        in_channel=3, out_channel=3, num_layers=4, num_resnet_block=1,
+        attn_layers=[2, 3], attn_heads=1, attn_dim_per_head=None,
+        time_dim=512, min_channel=128, max_channel=512, img_recon=False,
+        # The tiny bench dataset makes epochs 4 steps long; without this the
+        # end-of-epoch checkpoint write (~1.5 GB fetch) dominates the
+        # measurement, which a real run's 1000s-of-steps epochs never see.
+        epoch_checkpoint_every=10_000,
+    )
+    summary = run_training(BASE_SPEC, cfg, max_steps=steps)
+    return float(summary["steps_per_sec"])
 
 
 def main():
+    from sdm_tpu.utils.jax_setup import setup_jax_cache
+    setup_jax_cache()  # repeated bench runs skip XLA recompiles
     parser = argparse.ArgumentParser()
     # Default = the north-star's first metric (BASELINE.json: "64x64 train
     # steps/sec/chip; DDIM-50 images/sec; sample MSE parity"). The DDIM-50
     # metric is available via --metric ddim50; its 200 img/s target is not
     # physically reachable for this architecture on one v5e chip
     # (BASELINE.md FLOP-ceiling analysis).
-    parser.add_argument("--metric", choices=["ddim50", "train64"],
+    parser.add_argument("--metric",
+                        choices=["ddim50", "train64", "train64_e2e"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
                         help="Use fused Pallas kernels where available.")
     parser.add_argument("--train-baseline", type=float, default=5.0,
                         help="Control steps/sec for the train64 metric.")
+    parser.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS,
+                        help="Chip bf16 peak for the MFU field.")
+    parser.add_argument("--skip-e2e", action="store_true",
+                        help="train64: omit the end-to-end pipeline run.")
     args = parser.parse_args()
+
+    def perf_fields(flop_rate):
+        if not flop_rate:
+            return {}
+        tflops = flop_rate / 1e12
+        return {"tflops_per_sec": round(tflops, 2),
+                "mfu": round(tflops / args.peak_tflops, 4)}
 
     if args.metric == "ddim50":
         batch = args.batch or 32
-        value = bench_ddim50(batch, args.pallas)
+        value, flop_rate = bench_ddim50(batch, args.pallas)
         print(json.dumps({
             "metric": "ddim50_sampling_128x128_images_per_sec_per_chip",
             "value": round(value, 3),
             "unit": "images/sec/chip",
             "vs_baseline": round(value / 200.0, 4),
+            **perf_fields(flop_rate),
+        }))
+    elif args.metric == "train64_e2e":
+        batch = args.batch or 128
+        value = bench_train64_e2e(batch)
+        print(json.dumps({
+            "metric": "ddpm_train_64x64_e2e_steps_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "steps/sec/chip",
+            "vs_baseline": round(value / args.train_baseline, 4),
         }))
     else:
         batch = args.batch or 128
-        value = bench_train64(batch, args.pallas)
+        value, flop_rate = bench_train64(batch, args.pallas)
+        extra = perf_fields(flop_rate)
+        if not args.skip_e2e:
+            # Record the full-pipeline number alongside the device-bound one
+            # (VERDICT.md weakness 5). Run it in a TIME-BOXED subprocess: the
+            # CLI train step is a different HLO than the bench step and its
+            # cold compile takes ~14 min on this host (warm cache: seconds) —
+            # neither a hang nor a crash there may lose the primary metric.
+            import subprocess
+            import sys
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--metric", "train64_e2e", "--batch", str(batch)],
+                    capture_output=True, text=True, timeout=1500)
+                for line in proc.stdout.splitlines():
+                    line = line.strip()
+                    if line.startswith("{"):
+                        extra["e2e_steps_per_sec"] = json.loads(line)["value"]
+            except Exception:
+                pass
         print(json.dumps({
             "metric": "ddpm_train_64x64_steps_per_sec_per_chip",
             "value": round(value, 3),
             "unit": "steps/sec/chip",
             "vs_baseline": round(value / args.train_baseline, 4),
+            **extra,
         }))
 
 

@@ -103,8 +103,8 @@ class UNet(nn.Module):
         # with or without it. The in/middle/out conv stacks are rematted too:
         # at 256^2 batch 128 each un-rematted conv+Swish in the full-res
         # stacks holds a 2.1 GB pre-activation across the backward — extending
-        # remat there is what brings the SR flagship under one chip's HBM
-        # (measured 19.3 GB -> fits; see BASELINE.md memory table).
+        # remat there is what fits the 256^2 SR flagship at batch 64/chip
+        # (batch 128 needs grad-accum 2x64; see BASELINE.md memory table).
         Block = nn.checkpoint(UNetBlock) if self.remat else UNetBlock
 
         # The full-resolution in/out conv stacks are each ONE remat unit: a

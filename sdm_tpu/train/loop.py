@@ -639,7 +639,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     profile_ctx.__exit__(None, None, None)
     mh.barrier("train-end")
     return {"global_steps": global_steps, "last_loss": last_loss,
-            "state": state}
+            "state": state,
+            # Sliding-window rate over the last <=50 host-synced losses —
+            # excludes the first (compile) step once enough steps ran; feeds
+            # bench.py --metric train64_e2e.
+            "steps_per_sec": timer.steps_per_sec()}
 
 
 def main(spec: TrainerSpec, raw_args=None):

@@ -208,3 +208,27 @@ def test_ddim_generator_dp_sampling_matches_single_device(tmp_path):
     out8 = generate_images_diffusion(common + ["--num-devices", "8"],
                                      save_locally=False)
     np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_generator_bf16_dtype_close_to_fp32(tmp_path, monkeypatch):
+    """--dtype bfloat16 (opt-in fast sampling) runs the same trajectory in
+    bf16 with bf16-cast params; random weights + 4 DDIM steps keep it within
+    a loose tolerance of the fp32 parity path."""
+    _, p1 = _save_ref_ckpt(tmp_path, "b.pt", seed=5)
+    bundle = export_bundle(
+        "bfmodel", str(tmp_path), img_c=3, img_h=16, img_w=16,
+        model_type="BASE", entries=[(_train_cfg(1, 20), p1)])
+    config = os.path.join(bundle, "config.json")
+
+    rng = np.random.default_rng(1)
+    noise = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    _patch_noise(monkeypatch, noise)
+
+    fp32 = generate_images_diffusion(
+        ["-c", config, "-n", "2", "--diff_alg", "ddim",
+         "--ddim_step_size", "4"], save_locally=False)
+    bf16 = generate_images_diffusion(
+        ["-c", config, "-n", "2", "--diff_alg", "ddim",
+         "--ddim_step_size", "4", "--dtype", "bfloat16"], save_locally=False)
+    assert np.isfinite(bf16).all()
+    np.testing.assert_allclose(bf16, fp32, rtol=0.15, atol=0.15)
