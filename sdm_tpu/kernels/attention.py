@@ -84,9 +84,13 @@ def _fits_vmem(s: int, d: int, itemsize: int) -> bool:
 
 
 # XLA keeps the S x S score matrix in HBM between the two einsums; below
-# this token count that is measured net-neutral end-to-end (TODO.md), above
-# it the materialization dominates memory (S=4096 at batch 128 OOMs a chip)
-# so the streaming kernel is a measured win and "auto" mode switches over.
+# this token count the kernels are measured net-neutral end-to-end (TODO.md)
+# so "auto" stays on XLA. Above it the S^2 materialization dominates memory
+# (67 MB/sample fp32 at S=4096) and "auto" switches to the streaming kernel:
+# measured at 256^2 SR batch 64 it costs ~4% step time vs XLA-with-remat
+# (two-pass recompute) but removes the S^2 tensor in both directions —
+# headroom for larger S / more heads / forward-only sampling at scale
+# (BASELINE.md memory table).
 _AUTO_STREAMING_MIN_S = 2048
 
 
