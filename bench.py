@@ -262,8 +262,11 @@ def main():
                     line = line.strip()
                     if line.startswith("{"):
                         extra["e2e_steps_per_sec"] = json.loads(line)["value"]
-            except Exception:
-                pass
+                if "e2e_steps_per_sec" not in extra:
+                    extra["e2e_error"] = (
+                        f"rc={proc.returncode}: " + proc.stderr[-300:])
+            except Exception as e:
+                extra["e2e_error"] = repr(e)[:300]
         print(json.dumps({
             "metric": "ddpm_train_64x64_steps_per_sec_per_chip",
             "value": round(value, 3),

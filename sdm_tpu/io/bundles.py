@@ -55,7 +55,12 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
         beta_T=model_dict.get("beta_T", 9e-3),
         max_noise_step=max_T)
 
-    net = UNet.from_config(model_dict, dtype=dtype)
+    # The default fp32 path must reproduce the reference's inference
+    # numerics bit-for-bit (parity tests) — force the pure-XLA attention
+    # path there. The opt-in bf16 fast path may use the kernel dispatcher
+    # ("auto": streaming attention at S>=2048 grids on TPU).
+    net = UNet.from_config(model_dict, dtype=dtype,
+                           use_pallas=("auto" if dtype is not None else False))
     model_path = os.path.join(bundle_folder, model_dict["model_name"])
     if not os.path.isfile(model_path):
         raise FileNotFoundError(

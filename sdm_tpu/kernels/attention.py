@@ -96,8 +96,17 @@ _AUTO_STREAMING_MIN_S = 2048
 
 def _kernel_backend() -> bool:
     """Pallas TPU kernels only compile for real TPU backends; CPU test runs
-    (tests/conftest.py) take the XLA path unless interpret mode is forced."""
-    return jax.default_backend() in ("tpu", "axon")
+    (tests/conftest.py) take the XLA path unless interpret mode is forced
+    (pltpu.force_tpu_interpret_mode, which the kernel tests use to exercise
+    the real kernels on CPU)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        return True
+    try:
+        from jax._src import config as _jax_config
+        return (_jax_config.pallas_tpu_interpret_mode_context_manager.value
+                is not None)
+    except Exception:
+        return False
 
 
 def attention(q, k, v, scale: float, softmax_axis: str = "q",
@@ -119,7 +128,7 @@ def attention(q, k, v, scale: float, softmax_axis: str = "q",
     from sdm_tpu.kernels import streaming_attention as streaming
     streams = streaming.supports(s, d, softmax_axis)
     if mode is True:
-        if s >= 128 and d % 128 == 0 and _fits_vmem(s, d, q.dtype.itemsize):
+        if _whole_tile_ok(s, d, q.dtype.itemsize):
             return fused_attention(q, k, v, scale, softmax_axis)
         if streams:
             return _streaming_4d(q, k, v, scale)
@@ -148,9 +157,15 @@ def fused_attention(q, k, v, scale: float, softmax_axis: str = "q"):
     return _fused_attention_fwd_impl(q, k, v, scale, softmax_axis)
 
 
+def _whole_tile_ok(s: int, d: int, itemsize: int) -> bool:
+    """Single admission predicate for the whole-tile kernel, shared by the
+    dispatcher and the kernel's own fallback so they can never drift."""
+    return s >= 128 and d % 128 == 0 and _fits_vmem(s, d, itemsize)
+
+
 def _fused_attention_fwd_impl(q, k, v, scale, softmax_axis):
     n, s, h, d = q.shape
-    if s < 128 or d % 128 != 0 or not _fits_vmem(s, d, q.dtype.itemsize):
+    if not _whole_tile_ok(s, d, q.dtype.itemsize):
         return _xla_attention(q, k, v, scale, softmax_axis)
     to2d = lambda x: x.transpose(0, 2, 1, 3).reshape(n * h, s, d)
     o2 = _pallas_attention_2d(to2d(q), to2d(k), to2d(v), scale, softmax_axis)

@@ -62,7 +62,13 @@ def collective_bytes(hlo_text: str) -> Dict[str, int]:
             continue
         # Output shape(s) precede the op name on the RHS.
         head = rhs.split(kind)[0]
-        nbytes = sum(_shape_bytes(d, s) for d, s in _SHAPE_RE.findall(head))
+        shapes = _SHAPE_RE.findall(head)
+        if re.search(rf"\b{kind}-start\(", rhs):
+            # Async collectives are tuple-shaped (operand aliases first,
+            # results second); counting the whole tuple would double the
+            # bytes. Keep the result half only.
+            shapes = shapes[len(shapes) // 2:]
+        nbytes = sum(_shape_bytes(d, s) for d, s in shapes)
         totals[kind] += nbytes
         totals["total"] += nbytes
     return totals

@@ -2,8 +2,6 @@
 channel-sharded over "model", batch sharded over "data") must match the
 single-device step — SPMD shardings never change numerics."""
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,8 +12,6 @@ from sdm_tpu.models import UNet
 from sdm_tpu.ops.schedules import LinearSchedule
 from sdm_tpu.train import make_optimizer, make_train_step, create_train_state
 from sdm_tpu.parallel.tp import make_2d_mesh, tp_param_shardings
-
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CFG = dict(num_resnet_blocks=1, in_channel=3, out_channel=3, time_dim=16,
            cond_dim=None, num_layers=2, attn_layers=(1,), num_heads=1,
@@ -59,19 +55,6 @@ def test_tp_dp_step_matches_single_device():
     for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, s1.params)),
                     jax.tree.leaves(jax.tree.map(np.asarray, s2.params))):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-5)
-
-
-def test_dryrun_16_device_mesh():
-    """The full dp8 x tp2 training step must compile and run on a 16-device
-    mesh (wider than the conftest's 8 virtual devices — the dryrun re-execs
-    itself on a 16-device virtual CPU mesh, the same path the driver uses)."""
-    import sys
-    sys.path.insert(0, ROOT)
-    try:
-        import __graft_entry__ as g
-        g.dryrun_multichip(16)
-    finally:
-        sys.path.remove(ROOT)
 
 
 def test_collective_cost_analysis_dp_vs_tp():
