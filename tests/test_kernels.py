@@ -234,3 +234,35 @@ def test_attention_dispatcher_modes(monkeypatch):
     assert calls == ["tile", "stream", "stream"]  # no VMEM fit -> streaming
     ka.attention(q, k, v, 128 ** -0.5, "k", mode="auto")
     assert calls == ["tile", "stream", "stream"]  # key-axis softmax: XLA
+
+
+def test_partition_batch0_shards_over_dim0_without_gather():
+    """The custom_partitioning wrapper used by streaming_attention must run
+    per-shard over dim 0 on a sharded mesh — correct values, sharded output,
+    and no all-gather of the operands in the compiled module. (The pallas
+    kernels themselves can't partition under interpret mode, so a pure-jnp
+    stand-in with the same batch-leading signature pins the GSPMD plumbing.)"""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sdm_tpu.kernels.streaming_attention import _partition_batch0
+
+    fn = _partition_batch0(
+        lambda q, k, v: (jnp.tanh(q) + k * v,
+                         jnp.max(q, axis=-1, keepdims=True).transpose(0, 2, 1)),
+        "b s d, b s d, b s d -> b s d, b u s")
+
+    rng = np.random.default_rng(3)
+    q, k, v = (jnp.asarray(rng.standard_normal((8, 16, 4)).astype(np.float32))
+               for _ in range(3))
+    expect_out = np.tanh(np.asarray(q)) + np.asarray(k) * np.asarray(v)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    shard = NamedSharding(mesh, P("data"))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    jitted = jax.jit(fn)
+    out, stat = jitted(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), expect_out, rtol=1e-5,
+                               atol=1e-6)
+    assert out.sharding.spec[0] == "data", out.sharding
+    assert stat.shape == (8, 1, 16)
+    hlo = jitted.lower(qs, ks, vs).compile().as_text()
+    assert "all-gather" not in hlo
