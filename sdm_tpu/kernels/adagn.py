@@ -77,6 +77,30 @@ def _adagn_kernel(x_ref, gnw_ref, gnb_ref, ms_ref, mt_ref, o_ref, *,
 
 
 def _pallas_adagn(x, gn_scale, gn_bias, mod_scale, mod_shift, num_groups, eps):
+    """Partitions over the batch axis under a sharded jit (x and the FiLM
+    tables shard together; GN affine params replicate) — see
+    kernels/partitioning.py."""
+    from sdm_tpu.kernels.partitioning import tpu_interpret_mode
+    if tpu_interpret_mode():
+        return _pallas_adagn_impl(x, gn_scale, gn_bias, mod_scale, mod_shift,
+                                  num_groups, eps)
+    return _adagn_p(num_groups, eps)(x, gn_scale, gn_bias, mod_scale,
+                                     mod_shift)
+
+
+@functools.lru_cache(maxsize=None)
+def _adagn_p(num_groups: int, eps: float):
+    from sdm_tpu.kernels.partitioning import batch_partitioned
+    return batch_partitioned(
+        lambda x, gw, gb, ms, mt: _pallas_adagn_impl(
+            x, gw, gb, ms, mt, num_groups, eps),
+        "n h w c, c, c, n c, n c -> n h w c",
+        need_replication=("h", "w", "c"),
+        batch_argnums=(0, 3, 4))
+
+
+def _pallas_adagn_impl(x, gn_scale, gn_bias, mod_scale, mod_shift,
+                       num_groups, eps):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

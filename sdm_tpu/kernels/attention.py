@@ -59,7 +59,24 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 
 def _pallas_attention_2d(q2, k2, v2, scale: float, softmax_axis: str):
-    """q2/k2/v2: (BH, S, D) -> (BH, S, D)."""
+    """q2/k2/v2: (BH, S, D) -> (BH, S, D); partitions over BH under a
+    sharded jit (kernels/partitioning.py), per-shard pallas otherwise."""
+    from sdm_tpu.kernels.partitioning import tpu_interpret_mode
+    if tpu_interpret_mode():
+        return _pallas_attention_2d_impl(q2, k2, v2, scale, softmax_axis)
+    return _attention_2d_p(scale, softmax_axis)(q2, k2, v2)
+
+
+@functools.lru_cache(maxsize=None)
+def _attention_2d_p(scale: float, softmax_axis: str):
+    from sdm_tpu.kernels.partitioning import batch_partitioned
+    return batch_partitioned(
+        lambda q, k, v: _pallas_attention_2d_impl(q, k, v, scale,
+                                                  softmax_axis),
+        "b s d, b s d, b s d -> b s d", need_replication=("s", "d"))
+
+
+def _pallas_attention_2d_impl(q2, k2, v2, scale: float, softmax_axis: str):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -41,80 +41,29 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from jax.experimental.custom_partitioning import custom_partitioning
-from jax.sharding import NamedSharding, PartitionSpec as P
+from sdm_tpu.kernels.partitioning import batch_partitioned, tpu_interpret_mode
 
 _TILE = 256  # (Ti, Tj) score tiles: 256x256 fp32 = 256 KB in VMEM.
 
 
-def _partition_batch0(fn, sharding_rule):
-    """Teach GSPMD to partition `fn` (arrays in -> tuple of arrays out, ALL
-    batch-leading on dim 0) over dim 0 only, running the Pallas kernels on
-    each device's local shard. Without this, a pallas_call under a sharded
-    jit either fails to partition or silently replicates — attention is
-    embarrassingly parallel over the (batch*heads) axis, so dim-0 SPMD is
-    exact (verified vs the XLA path on an 8-device mesh in tests/test_tp.py).
-    """
-    cp = custom_partitioning(fn)
-
-    def _dim0(arg_shapes):
-        for a in jax.tree.leaves(arg_shapes):
-            sh = getattr(a, "sharding", None)
-            if isinstance(sh, NamedSharding) and len(sh.spec) and sh.spec[0]:
-                return sh.mesh, sh.spec[0]
-        return None, None
-
-    def _shardings(mesh, b, tree):
-        return jax.tree.map(
-            lambda x: NamedSharding(mesh, P(b, *([None] * (x.ndim - 1)))),
-            tree)
-
-    def infer(mesh, arg_shapes, result_shape):
-        m, b = _dim0(arg_shapes)
-        return _shardings(m or mesh, b, result_shape)
-
-    def partition(mesh, arg_shapes, result_shape):
-        m, b = _dim0(arg_shapes)
-        m = m or mesh
-        return (m, fn, _shardings(m, b, result_shape),
-                _shardings(m, b, arg_shapes))
-
-    cp.def_partition(
-        partition=partition,
-        infer_sharding_from_operands=infer,
-        propagate_user_sharding=lambda sharding, shape: sharding,
-        # Shardy path: only the leading batch*heads factor b may shard;
-        # s/d (token/feature) and the stats' unit dim must stay whole per
-        # device for the kernel's tiling.
-        sharding_rule=sharding_rule,
-        need_replication_factors=("s", "d", "u"))
-    return cp
-
-
-def _interpret_mode() -> bool:
-    # Interpret mode lowers pallas_call through an ordered io_callback that
-    # custom_partitioning cannot lower per-shard; CPU tests run the raw
-    # kernels instead (single-shard semantics are identical).
-    try:
-        from jax._src import config as _jax_config
-        return (_jax_config.pallas_tpu_interpret_mode_context_manager.value
-                is not None)
-    except Exception:
-        return False
-
-
+# Attention is embarrassingly parallel over the (batch*heads) axis, so the
+# kernels partition over dim 0 (s/d and the stats' unit dim stay whole per
+# device for the tiling); interpret-mode (CPU test) callers bypass the
+# wrapper and call the raw pipelines — see kernels/partitioning.py.
 @functools.lru_cache(maxsize=None)
 def _forward_p(scale: float):
-    return _partition_batch0(
+    return batch_partitioned(
         lambda q, k, v: _forward(q, k, v, scale),
-        "b s d, b s d, b s d -> b s d, b u s, b u s")
+        "b s d, b s d, b s d -> b s d, b u s, b u s",
+        need_replication=("s", "d", "u"))
 
 
 @functools.lru_cache(maxsize=None)
 def _backward_p(scale: float):
-    return _partition_batch0(
+    return batch_partitioned(
         lambda q, k, v, m, l, g: _backward(q, k, v, m, l, g, scale),
-        "b s d, b s d, b s d, b u s, b u s, b s d -> b s d, b s d, b s d")
+        "b s d, b s d, b s d, b u s, b u s, b s d -> b s d, b s d, b s d",
+        need_replication=("s", "d", "u"))
 
 
 def supports(s: int, d: int, softmax_axis: str) -> bool:
@@ -306,7 +255,7 @@ def _backward(q2, k2, v2, m, l, g2, scale):
 
 
 def _run_forward(q2, k2, v2, scale):
-    if _interpret_mode():
+    if tpu_interpret_mode():
         return _forward(q2, k2, v2, scale)
     return _forward_p(scale)(q2, k2, v2)
 
@@ -326,7 +275,7 @@ def _vjp_fwd(q2, k2, v2, scale):
 def _vjp_bwd(scale, residuals, g):
     q2, k2, v2, m, l = residuals
     g = g.astype(q2.dtype)
-    if _interpret_mode():
+    if tpu_interpret_mode():
         dq, dk, dv = _backward(q2, k2, v2, m, l, g, scale)
     else:
         dq, dk, dv = _backward_p(scale)(q2, k2, v2, m, l, g)

@@ -243,12 +243,13 @@ def test_partition_batch0_shards_over_dim0_without_gather():
     kernels themselves can't partition under interpret mode, so a pure-jnp
     stand-in with the same batch-leading signature pins the GSPMD plumbing.)"""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from sdm_tpu.kernels.streaming_attention import _partition_batch0
+    from sdm_tpu.kernels.partitioning import batch_partitioned
 
-    fn = _partition_batch0(
+    fn = batch_partitioned(
         lambda q, k, v: (jnp.tanh(q) + k * v,
                          jnp.max(q, axis=-1, keepdims=True).transpose(0, 2, 1)),
-        "b s d, b s d, b s d -> b s d, b u s")
+        "b s d, b s d, b s d -> b s d, b u s",
+        need_replication=("s", "d", "u"))
 
     rng = np.random.default_rng(3)
     q, k, v = (jnp.asarray(rng.standard_normal((8, 16, 4)).astype(np.float32))
