@@ -92,3 +92,78 @@ def test_train_export_generate_reproduces_structure(tmp_path):
     col_means = samples.mean(axis=(0, 1, 3))  # (hw,)
     corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
     assert corr > 0.95, corr
+
+
+def test_sr_train_export_generate_beats_upsampling(tmp_path):
+    """SR family converged-behavior: train the residual-x0 SR model on
+    synthetic structured images, export an SR bundle, super-resolve the
+    downsampled image through the real generator, and assert the output is
+    much closer to the ground truth than plain area-upsampling (the
+    cascade's entire value proposition; reference train_SR_diffusion.py +
+    generate_sr_images_diffusion.py)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from sdm_tpu.train.loop import run_training, SR_SPEC
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_sr_images_diffusion import (
+        generate_sr_images_diffusion)
+    from sdm_tpu.ops.resize import area_resize
+
+    hw, lr = 16, 8
+    ramp = np.linspace(-0.9, 0.9, hw, dtype=np.float32)
+    target = np.broadcast_to(ramp[None, :, None], (hw, hw, 3)).copy()
+    # Vertical modulation gives the residual real high-frequency content.
+    target = target * np.linspace(0.4, 1.0, hw,
+                                  dtype=np.float32)[:, None, None]
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for i in range(32):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
+    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+
+    cfg = dict(
+        dataset_path=str(img_dir / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
+        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=2e-3, batch_size=16,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=6, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=32, min_channel=32, max_channel=64, img_recon=True,
+        lr_dim=lr, sr_dim=hw, cond_t=25,
+        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
+    )
+    summary = run_training(SR_SPEC, cfg, max_steps=200)
+    assert np.isfinite(summary["last_loss"])
+
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
+                                 "diffusion_*.pt")),
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    bundle_dir = export_bundle(
+        "sr-conv", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
+        model_type="SR", entries=[(cfg, ckpts[-1])])
+
+    lr_np = np.asarray(area_resize(jnp.asarray(target_decoded)[None],
+                                   lr, lr))[0]
+    lr_u8 = np.clip((lr_np + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    imgs = generate_sr_images_diffusion(raw_args=[
+        "--device", "cpu", "--cold_step_size", "5", "-s", "3",
+        "--config", os.path.join(bundle_dir, "config.json"),
+        "--dest_path", str(tmp_path),
+    ], lr_img=lr_u8, log=lambda *a, **k: None, save_locally=False)
+    samples = np.asarray(imgs, np.float32)
+
+    mse = float(np.mean((samples - target_decoded[None]) ** 2))
+    lr_dec = (lr_u8.astype(np.float32) - 127.5) / 127.5
+    lr_up = np.asarray(area_resize(jnp.asarray(lr_dec)[None], hw, hw))[0]
+    baseline = float(np.mean((lr_up - target_decoded) ** 2))
+    # Measured: mse ~6e-5 vs upsample baseline ~2e-3 at 200 steps.
+    assert mse < 5e-4, (mse, baseline)
+    assert mse < baseline / 3, (mse, baseline)
