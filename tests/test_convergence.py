@@ -167,3 +167,78 @@ def test_sr_train_export_generate_beats_upsampling(tmp_path):
     # Measured: mse ~6e-5 vs upsample baseline ~2e-3 at 200 steps.
     assert mse < 5e-4, (mse, baseline)
     assert mse < baseline / 3, (mse, baseline)
+
+
+def test_doodle_conditioning_controls_generation(tmp_path):
+    """Doodle family converged-behavior: two (doodle, image) training pairs;
+    after training, generating with each doodle must produce the image that
+    doodle maps to — proving the conditional-image channel-concat path
+    steers generation end-to-end (reference train_doodle_diffusion.py +
+    generate_images_diffusion.py --cond_img_path). Measured at 800 steps:
+    right-doodle MSE ~0.06, wrong-doodle ~0.57."""
+    import cv2
+
+    from sdm_tpu.data.tinydb_compat import write_tables
+    from sdm_tpu.train.loop import run_training, DOODLE_SPEC
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    hw = 8
+    ramp = np.linspace(-0.9, 0.9, hw, dtype=np.float32)
+    img_h = np.broadcast_to(ramp[None, :, None], (hw, hw, 3)).copy()
+    img_v = np.broadcast_to(ramp[:, None, None], (hw, hw, 3)).copy()
+    ones = np.ones((hw, hw, 3), np.float32)
+    doo_h = np.where(np.arange(hw)[None, :, None] < hw // 2, -0.9, 0.9) * ones
+    doo_v = np.where(np.arange(hw)[:, None, None] < hw // 2, -0.9, 0.9) * ones
+
+    def save(a, name):
+        p = str(tmp_path / name)
+        cv2.imwrite(p, np.clip((a + 1) * 127.5, 0, 255).astype(np.uint8))
+        return p
+
+    rows = []
+    for i in range(16):
+        img, doo = (img_h, doo_h) if i % 2 == 0 else (img_v, doo_v)
+        rows.append({"filename": save(img, f"img_{i}.png"),
+                     "doodle": save(doo, f"doo_{i}.png")})
+    db = str(tmp_path / "db.json")
+    write_tables(db, {"Data": rows, "Labels": [{"labels": ["doodle"]}]})
+
+    cfg = dict(
+        dataset_path=db, cond_dim=None, out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=5000,
+        plot_img_count=4, model_checkpoint=None, load_diffusion_optim=False,
+        config_checkpoint=None, diffusion_lr=2e-3, batch_size=16,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=6, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=32, min_channel=32, max_channel=64, img_recon=False,
+        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
+    )
+    summary = run_training(DOODLE_SPEC, cfg, max_steps=800)
+    assert np.isfinite(summary["last_loss"])
+
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
+                                 "diffusion_*.pt")),
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    bundle_dir = export_bundle(
+        "doo", str(tmp_path / "b"), img_c=3, img_h=hw, img_w=hw,
+        model_type="BASE", entries=[(cfg, ckpts[-1])])
+
+    for tag, doo, right, wrong in (("h", doo_h, img_h, img_v),
+                                   ("v", doo_v, img_v, img_h)):
+        imgs = generate_images_diffusion(raw_args=[
+            "--num_images", "4", "--device", "cpu",
+            "--diff_alg", "ddim", "--ddim_step_size", "5", "--seed", "3",
+            "--config", os.path.join(bundle_dir, "config.json"),
+            "--dest_path", str(tmp_path),
+            "--cond_img_path", save(doo, f"cond_{tag}.png"),
+        ], log=lambda *a, **k: None, save_locally=False)
+        s = np.asarray(imgs, np.float32)
+        mse_right = float(np.mean((s - right[None]) ** 2))
+        mse_wrong = float(np.mean((s - wrong[None]) ** 2))
+        assert mse_right < 0.2, (tag, mse_right)
+        assert mse_wrong > 3 * mse_right, (tag, mse_right, mse_wrong)
