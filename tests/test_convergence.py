@@ -242,3 +242,60 @@ def test_doodle_conditioning_controls_generation(tmp_path):
         mse_wrong = float(np.mean((s - wrong[None]) ** 2))
         assert mse_right < 0.2, (tag, mse_right)
         assert mse_wrong > 3 * mse_right, (tag, mse_right, mse_wrong)
+
+
+def test_cold_train_export_generate_reproduces_structure(tmp_path):
+    """Cold family converged-behavior: the x0-predicting model trained on
+    identical structured images must cold-sample them back from pure noise
+    through train -> export (BASE-COLD — the bundle type whose LINEAR-
+    schedule KeyError we fix over the reference) -> generate. Measured:
+    MSE ~1e-3 at 200 steps."""
+    import cv2
+
+    from sdm_tpu.train.loop import run_training, COLD_SPEC
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_images_cold_diffusion import (
+        generate_images_cold_diffusion)
+
+    hw = 8
+    target = _gradient_image(hw)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for i in range(32):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
+    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+
+    cfg = dict(
+        dataset_path=str(img_dir / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
+        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=2e-3, batch_size=16,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=32, min_channel=32, max_channel=64, img_recon=True,
+        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
+    )
+    summary = run_training(COLD_SPEC, cfg, max_steps=200)
+    assert np.isfinite(summary["last_loss"])
+
+    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
+                                 "diffusion_*.pt")),
+                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    bundle_dir = export_bundle(
+        "cold-conv", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
+        model_type="BASE-COLD", entries=[(cfg, ckpts[-1])])
+
+    imgs = generate_images_cold_diffusion(raw_args=[
+        "-n", "4", "--device", "cpu", "--cold_step_size", "5", "-s", "3",
+        "-c", os.path.join(bundle_dir, "config.json"), "-d", str(tmp_path),
+    ], log=lambda *a, **k: None, save_locally=False)
+    samples = np.asarray(imgs, np.float32)
+    mse = float(np.mean((samples - target_decoded[None]) ** 2))
+    assert mse < 0.01, mse
