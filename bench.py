@@ -17,6 +17,7 @@ measured control exists).
 """
 
 import argparse
+import functools
 import json
 import os
 import time
@@ -192,6 +193,66 @@ def bench_train64_e2e(batch: int, steps: int = 75) -> float:
     return float(summary["steps_per_sec"])
 
 
+def bench_sr256(batch: int, repeats: int = 4):
+    """256x256 SR cold-diffusion training step (the framework's heaviest
+    config: in 6ch, image_recon, S=4096 attention at layer 2) in the
+    measured-fastest fitting configuration: grad accumulation in 16-image
+    microbatches, no remat, XLA attention (871 ms/step at batch 64 =
+    73.5 img/s vs 1417 ms with remat+streaming at microbatch 64 — remat and
+    the streaming kernel are capability levers for LARGE microbatches, not
+    throughput levers; BASELINE.md memory table). Returns
+    (steps/sec, FLOP/s)."""
+    from jax import lax
+
+    from sdm_tpu.enums import Objective
+    from sdm_tpu.ops.schedules import LinearSchedule
+    from sdm_tpu.train import (
+        make_optimizer, make_train_step, create_train_state)
+
+    from sdm_tpu.models import UNet
+
+    accum = max(1, -(-batch // 16))  # ceil: 16-image microbatches
+    net = UNet(
+        num_resnet_blocks=1, in_channel=6, out_channel=3, time_dim=512,
+        cond_dim=None, num_layers=4, attn_layers=(2, 3), num_heads=1,
+        dim_per_head=None, min_channel=128, max_channel=512,
+        image_recon=True, dtype=jnp.bfloat16, use_pallas=False, remat=False)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 256, 256, 6), jnp.float32),
+                      jnp.array([1], jnp.int32))["params"]
+    schedule = LinearSchedule.create(5e-3, 9e-3, 1000)
+    tx = make_optimizer(2e-5, 100_000)
+    step = make_train_step(
+        lambda p, x, t, l: net.apply({"params": p}, x, t, l),
+        schedule, tx, objective=Objective.RESIDUAL_X0,
+        min_noise_step=1, max_actual_noise_step=1000, flip_imgs=False,
+        cond_t=250, lr_dim=128, grad_accum_steps=accum)
+    state = create_train_state(params, tx)
+    img = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, 256, 256, 3), jnp.float32)
+    if accum > 1:
+        assert batch % accum == 0, "batch must divide into 16-image microbatches"
+        img = img.reshape(accum, batch // accum, 256, 256, 3)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(state, img, key):
+        keys = jax.random.split(key, repeats)
+
+        def body(s, k):
+            ns, m = step(s, {"image": img}, k)
+            return ns, m["loss"]
+        return lax.scan(body, state, keys)
+
+    import numpy as np
+    state, losses = run(state, img, jax.random.PRNGKey(2))  # compile+warm
+    np.asarray(losses)
+    t0 = time.perf_counter()
+    state, losses = run(state, img, jax.random.PRNGKey(3))
+    np.asarray(losses)
+    dt = (time.perf_counter() - t0) / repeats
+    return 1.0 / dt, None
+
+
 def main():
     from sdm_tpu.utils.jax_setup import setup_jax_cache
     setup_jax_cache()  # repeated bench runs skip XLA recompiles
@@ -202,7 +263,8 @@ def main():
     # physically reachable for this architecture on one v5e chip
     # (BASELINE.md FLOP-ceiling analysis).
     parser.add_argument("--metric",
-                        choices=["ddim50", "train64", "train64_e2e"],
+                        choices=["ddim50", "train64", "train64_e2e",
+                                 "sr256"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
@@ -231,6 +293,16 @@ def main():
             "unit": "images/sec/chip",
             "vs_baseline": round(value / 200.0, 4),
             **perf_fields(flop_rate),
+        }))
+    elif args.metric == "sr256":
+        batch = args.batch or 64
+        value, _ = bench_sr256(batch)
+        print(json.dumps({
+            "metric": "sr_cold_train_256x256_steps_per_sec_per_chip",
+            "value": round(value, 4),
+            "unit": "steps/sec/chip",
+            "vs_baseline": round(value * batch / 74.0, 4),  # round-1: 74 img/s
+            "imgs_per_sec": round(value * batch, 2),
         }))
     elif args.metric == "train64_e2e":
         batch = args.batch or 128
