@@ -211,7 +211,8 @@ def bench_sr256(batch: int, repeats: int = 4):
 
     from sdm_tpu.models import UNet
 
-    accum = max(1, -(-batch // 16))  # ceil: 16-image microbatches
+    assert batch % 16 == 0, "sr256 uses 16-image microbatches"
+    accum = batch // 16
     net = UNet(
         num_resnet_blocks=1, in_channel=6, out_channel=3, time_dim=512,
         cond_dim=None, num_layers=4, attn_layers=(2, 3), num_heads=1,
@@ -231,8 +232,7 @@ def bench_sr256(batch: int, repeats: int = 4):
     img = jax.random.normal(jax.random.PRNGKey(1),
                             (batch, 256, 256, 3), jnp.float32)
     if accum > 1:
-        assert batch % accum == 0, "batch must divide into 16-image microbatches"
-        img = img.reshape(accum, batch // accum, 256, 256, 3)
+        img = img.reshape(accum, 16, 256, 256, 3)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(state, img, key):
@@ -295,6 +295,9 @@ def main():
             **perf_fields(flop_rate),
         }))
     elif args.metric == "sr256":
+        if args.pallas:
+            parser.error("--pallas has no effect on sr256 (the metric pins "
+                         "the measured-fastest XLA recipe; see BASELINE.md)")
         batch = args.batch or 64
         value, _ = bench_sr256(batch)
         print(json.dumps({

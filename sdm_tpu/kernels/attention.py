@@ -118,12 +118,8 @@ def _kernel_backend() -> bool:
     the real kernels on CPU)."""
     if jax.default_backend() in ("tpu", "axon"):
         return True
-    try:
-        from jax._src import config as _jax_config
-        return (_jax_config.pallas_tpu_interpret_mode_context_manager.value
-                is not None)
-    except Exception:
-        return False
+    from sdm_tpu.kernels.partitioning import tpu_interpret_mode
+    return tpu_interpret_mode()
 
 
 def attention(q, k, v, scale: float, softmax_axis: str = "q",

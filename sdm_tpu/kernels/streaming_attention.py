@@ -274,7 +274,6 @@ def _vjp_fwd(q2, k2, v2, scale):
 
 def _vjp_bwd(scale, residuals, g):
     q2, k2, v2, m, l = residuals
-    g = g.astype(q2.dtype)
     if tpu_interpret_mode():
         dq, dk, dv = _backward(q2, k2, v2, m, l, g, scale)
     else:

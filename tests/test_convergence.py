@@ -1,14 +1,15 @@
-"""Converged-behavior test: train -> checkpoint -> export -> generate as ONE
+"""Converged-behavior tests: train -> checkpoint -> export -> generate as ONE
 pipeline on structured synthetic data, asserting the generated samples
-reproduce the structure.
+reproduce the structure — one test per trainer family (base/DDIM, SR,
+doodle, cold).
 
 This is the offline proxy for validating against the reference's released
 checkpoints (reference README.md:154-163, network-blocked here): a small
-U-Net is trained a few hundred steps on a dataset of identical gradient
-images; a well-trained eps-model then DDIM-samples images close to that
-gradient from pure noise. Unlike tests/test_learning.py (loss decreases),
-this pins end-to-end *sample quality* through the real trainer, exporter and
-generator (VERDICT.md missing item 3)."""
+U-Net is trained a few hundred steps on structured synthetic images; the
+trained model's samples must reproduce that structure. Unlike
+tests/test_learning.py (loss decreases), these pin end-to-end *sample
+quality* through the real trainer, exporter and generator (VERDICT.md r1
+missing item 3)."""
 
 import glob
 import json
@@ -25,52 +26,73 @@ def _gradient_image(hw=8):
     return img
 
 
-def test_train_export_generate_reproduces_structure(tmp_path):
+def _write_identical_images(img_dir, target, n=32):
+    """uint8 roundtrip like a real dataset; returns the decoded target."""
     import cv2
-
-    from sdm_tpu.train.loop import run_training, BASE_SPEC
-    from sdm_tpu.cli.export_models import export_bundle
-    from sdm_tpu.cli.generate_images_diffusion import (
-        generate_images_diffusion)
-
-    hw = 8
-    target = _gradient_image(hw)
-    img_dir = tmp_path / "imgs"
     img_dir.mkdir()
-    # 32 identical images; uint8 roundtrip like a real dataset.
     u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
-    for i in range(32):
+    for i in range(n):
         cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
-    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+    return (u8.astype(np.float32) - 127.5) / 127.5
 
-    # Short schedule with large betas so alpha_bar(T) ~ 0 at T=50 (pure-noise
-    # start stays valid despite few steps).
+
+def _cfg(tmp_path, **over):
+    """Shared fast-convergence recipe: short T=50 schedule with large betas
+    (alpha_bar(T) ~ 0 so a pure-noise start stays valid), lr 2e-3 halving at
+    600 (measured: stable to 2500 steps, diverges without halving)."""
     cfg = dict(
-        dataset_path=str(img_dir / "*.png"),
+        dataset_path=str(tmp_path / "imgs" / "*.png"),
         use_conditional=False, cond_dim=None,
         out_dir=str(tmp_path / "out"),
-        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=5000,
         plot_img_count=4, flip_imgs=False, model_checkpoint=None,
         load_diffusion_optim=False, config_checkpoint=None,
-        diffusion_lr=2e-3, batch_size=16,  # halving at 600 keeps late steps stable
+        diffusion_lr=2e-3, batch_size=16,
         noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
         diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
         max_noise_step=50, max_actual_noise_step=50,
         in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
         attn_layers=[], attn_heads=1, attn_dim_per_head=None,
         time_dim=32, min_channel=32, max_channel=64, img_recon=False,
-        compute_dtype="float32", seed=7,
-        epoch_checkpoint_every=1000,
+        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
     )
-    summary = run_training(BASE_SPEC, cfg, max_steps=800)
-    assert np.isfinite(summary["last_loss"])
+    for k, v in over.items():
+        if v is _DROP:
+            cfg.pop(k)
+        else:
+            cfg[k] = v
+    return cfg
 
-    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
-                                 "diffusion_*.pt")),
+
+_DROP = object()
+
+
+def _train_and_export(spec, cfg, tmp_path, name, model_type, hw, steps):
+    """Run the real trainer, pick the newest checkpoint, export a bundle;
+    returns the bundle directory."""
+    from sdm_tpu.train.loop import run_training
+    from sdm_tpu.cli.export_models import export_bundle
+
+    summary = run_training(spec, cfg, max_steps=steps)
+    assert np.isfinite(summary["last_loss"])
+    ckpts = sorted(glob.glob(os.path.join(cfg["out_dir"], "checkpoint",
+                                          "diffusion_*.pt")),
                    key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
-    bundle_dir = export_bundle(
-        "conv-test", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
-        model_type="BASE", entries=[(cfg, ckpts[-1])])
+    return export_bundle(name, str(tmp_path), img_c=3, img_h=hw, img_w=hw,
+                         model_type=model_type, entries=[(cfg, ckpts[-1])])
+
+
+def test_train_export_generate_reproduces_structure(tmp_path):
+    from sdm_tpu.train.loop import BASE_SPEC
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    hw = 8
+    target_decoded = _write_identical_images(tmp_path / "imgs",
+                                             _gradient_image(hw))
+    cfg = _cfg(tmp_path)
+    bundle_dir = _train_and_export(BASE_SPEC, cfg, tmp_path, "conv-test",
+                                   "BASE", hw, steps=800)
     with open(os.path.join(bundle_dir, "config.json")) as f:
         assert json.load(f)["models"][0]["max_noise"] == 50
 
@@ -95,60 +117,28 @@ def test_train_export_generate_reproduces_structure(tmp_path):
 
 
 def test_sr_train_export_generate_beats_upsampling(tmp_path):
-    """SR family converged-behavior: train the residual-x0 SR model on
-    synthetic structured images, export an SR bundle, super-resolve the
-    downsampled image through the real generator, and assert the output is
-    much closer to the ground truth than plain area-upsampling (the
-    cascade's entire value proposition; reference train_SR_diffusion.py +
-    generate_sr_images_diffusion.py)."""
-    import cv2
+    """SR family: train the residual-x0 SR model on synthetic structured
+    images, export an SR bundle, super-resolve the downsampled image through
+    the real generator, and assert the output is much closer to the ground
+    truth than plain area-upsampling (the cascade's entire value proposition;
+    reference train_SR_diffusion.py + generate_sr_images_diffusion.py)."""
     import jax.numpy as jnp
 
-    from sdm_tpu.train.loop import run_training, SR_SPEC
-    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.train.loop import SR_SPEC
     from sdm_tpu.cli.generate_sr_images_diffusion import (
         generate_sr_images_diffusion)
     from sdm_tpu.ops.resize import area_resize
 
     hw, lr = 16, 8
-    ramp = np.linspace(-0.9, 0.9, hw, dtype=np.float32)
-    target = np.broadcast_to(ramp[None, :, None], (hw, hw, 3)).copy()
     # Vertical modulation gives the residual real high-frequency content.
-    target = target * np.linspace(0.4, 1.0, hw,
-                                  dtype=np.float32)[:, None, None]
-    img_dir = tmp_path / "imgs"
-    img_dir.mkdir()
-    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
-    for i in range(32):
-        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
-    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+    target = _gradient_image(hw) * np.linspace(
+        0.4, 1.0, hw, dtype=np.float32)[:, None, None]
+    target_decoded = _write_identical_images(tmp_path / "imgs", target)
 
-    cfg = dict(
-        dataset_path=str(img_dir / "*.png"),
-        use_conditional=False, cond_dim=None,
-        out_dir=str(tmp_path / "out"),
-        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
-        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
-        load_diffusion_optim=False, config_checkpoint=None,
-        diffusion_lr=2e-3, batch_size=16,
-        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
-        skip_step=5, min_noise_step=1,
-        max_noise_step=50, max_actual_noise_step=50,
-        in_channel=6, out_channel=3, num_layers=2, num_resnet_block=1,
-        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
-        time_dim=32, min_channel=32, max_channel=64, img_recon=True,
-        lr_dim=lr, sr_dim=hw, cond_t=25,
-        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
-    )
-    summary = run_training(SR_SPEC, cfg, max_steps=200)
-    assert np.isfinite(summary["last_loss"])
-
-    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
-                                 "diffusion_*.pt")),
-                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
-    bundle_dir = export_bundle(
-        "sr-conv", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
-        model_type="SR", entries=[(cfg, ckpts[-1])])
+    cfg = _cfg(tmp_path, in_channel=6, img_recon=True,
+               lr_dim=lr, sr_dim=hw, cond_t=25, diffusion_alg=_DROP)
+    bundle_dir = _train_and_export(SR_SPEC, cfg, tmp_path, "sr-conv", "SR",
+                                   hw, steps=200)
 
     lr_np = np.asarray(area_resize(jnp.asarray(target_decoded)[None],
                                    lr, lr))[0]
@@ -170,17 +160,16 @@ def test_sr_train_export_generate_beats_upsampling(tmp_path):
 
 
 def test_doodle_conditioning_controls_generation(tmp_path):
-    """Doodle family converged-behavior: two (doodle, image) training pairs;
-    after training, generating with each doodle must produce the image that
-    doodle maps to — proving the conditional-image channel-concat path
-    steers generation end-to-end (reference train_doodle_diffusion.py +
+    """Doodle family: two (doodle, image) training pairs; after training,
+    generating with each doodle must produce the image that doodle maps to —
+    proving the conditional-image channel-concat path steers generation
+    end-to-end (reference train_doodle_diffusion.py +
     generate_images_diffusion.py --cond_img_path). Measured at 800 steps:
     right-doodle MSE ~0.06, wrong-doodle ~0.57."""
     import cv2
 
     from sdm_tpu.data.tinydb_compat import write_tables
-    from sdm_tpu.train.loop import run_training, DOODLE_SPEC
-    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.train.loop import DOODLE_SPEC
     from sdm_tpu.cli.generate_images_diffusion import (
         generate_images_diffusion)
 
@@ -205,28 +194,10 @@ def test_doodle_conditioning_controls_generation(tmp_path):
     db = str(tmp_path / "db.json")
     write_tables(db, {"Data": rows, "Labels": [{"labels": ["doodle"]}]})
 
-    cfg = dict(
-        dataset_path=db, cond_dim=None, out_dir=str(tmp_path / "out"),
-        checkpoint_steps=10_000, lr_steps=600, max_epoch=5000,
-        plot_img_count=4, model_checkpoint=None, load_diffusion_optim=False,
-        config_checkpoint=None, diffusion_lr=2e-3, batch_size=16,
-        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
-        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
-        max_noise_step=50, max_actual_noise_step=50,
-        in_channel=6, out_channel=3, num_layers=2, num_resnet_block=1,
-        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
-        time_dim=32, min_channel=32, max_channel=64, img_recon=False,
-        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
-    )
-    summary = run_training(DOODLE_SPEC, cfg, max_steps=800)
-    assert np.isfinite(summary["last_loss"])
-
-    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
-                                 "diffusion_*.pt")),
-                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
-    bundle_dir = export_bundle(
-        "doo", str(tmp_path / "b"), img_c=3, img_h=hw, img_w=hw,
-        model_type="BASE", entries=[(cfg, ckpts[-1])])
+    cfg = _cfg(tmp_path, dataset_path=db, in_channel=6,
+               use_conditional=_DROP, flip_imgs=_DROP)
+    bundle_dir = _train_and_export(DOODLE_SPEC, cfg, tmp_path / "b", "doo",
+                                   "BASE", hw, steps=800)
 
     for tag, doo, right, wrong in (("h", doo_h, img_h, img_v),
                                    ("v", doo_v, img_v, img_h)):
@@ -245,52 +216,20 @@ def test_doodle_conditioning_controls_generation(tmp_path):
 
 
 def test_cold_train_export_generate_reproduces_structure(tmp_path):
-    """Cold family converged-behavior: the x0-predicting model trained on
-    identical structured images must cold-sample them back from pure noise
-    through train -> export (BASE-COLD — the bundle type whose LINEAR-
-    schedule KeyError we fix over the reference) -> generate. Measured:
-    MSE ~1e-3 at 200 steps."""
-    import cv2
-
-    from sdm_tpu.train.loop import run_training, COLD_SPEC
-    from sdm_tpu.cli.export_models import export_bundle
+    """Cold family: the x0-predicting model trained on identical structured
+    images must cold-sample them back from pure noise through train ->
+    export (BASE-COLD — the bundle type whose LINEAR-schedule KeyError we
+    fix over the reference) -> generate. Measured: MSE ~1e-3 at 200 steps."""
+    from sdm_tpu.train.loop import COLD_SPEC
     from sdm_tpu.cli.generate_images_cold_diffusion import (
         generate_images_cold_diffusion)
 
     hw = 8
-    target = _gradient_image(hw)
-    img_dir = tmp_path / "imgs"
-    img_dir.mkdir()
-    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
-    for i in range(32):
-        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
-    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
-
-    cfg = dict(
-        dataset_path=str(img_dir / "*.png"),
-        use_conditional=False, cond_dim=None,
-        out_dir=str(tmp_path / "out"),
-        checkpoint_steps=10_000, lr_steps=600, max_epoch=1000,
-        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
-        load_diffusion_optim=False, config_checkpoint=None,
-        diffusion_lr=2e-3, batch_size=16,
-        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
-        skip_step=5, min_noise_step=1,
-        max_noise_step=50, max_actual_noise_step=50,
-        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
-        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
-        time_dim=32, min_channel=32, max_channel=64, img_recon=True,
-        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
-    )
-    summary = run_training(COLD_SPEC, cfg, max_steps=200)
-    assert np.isfinite(summary["last_loss"])
-
-    ckpts = sorted(glob.glob(str(tmp_path / "out" / "checkpoint" /
-                                 "diffusion_*.pt")),
-                   key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
-    bundle_dir = export_bundle(
-        "cold-conv", str(tmp_path), img_c=3, img_h=hw, img_w=hw,
-        model_type="BASE-COLD", entries=[(cfg, ckpts[-1])])
+    target_decoded = _write_identical_images(tmp_path / "imgs",
+                                             _gradient_image(hw))
+    cfg = _cfg(tmp_path, img_recon=True, diffusion_alg=_DROP)
+    bundle_dir = _train_and_export(COLD_SPEC, cfg, tmp_path, "cold-conv",
+                                   "BASE-COLD", hw, steps=200)
 
     imgs = generate_images_cold_diffusion(raw_args=[
         "-n", "4", "--device", "cpu", "--cold_step_size", "5", "-s", "3",
