@@ -144,7 +144,7 @@ def bench_train64(batch: int, use_pallas: bool, repeats: int = 10):
     return 1.0 / dt, (flops / dt if flops else None)  # steps/s, FLOP/s
 
 
-def bench_train64_e2e(batch: int, steps: int = 75) -> float:
+def bench_train64_e2e(batch: int, steps: int = 60) -> float:
     """End-to-end training rate: real JPEG images decoded on the host and fed
     through the DataLoader into run_training (the reference's actual hot loop,
     train_diffusion.py:295-366) — measures the full pipeline, not just the
@@ -323,16 +323,18 @@ def main():
         if not args.skip_e2e:
             # Record the full-pipeline number alongside the device-bound one
             # (VERDICT.md weakness 5). Run it in a TIME-BOXED subprocess: the
-            # CLI train step is a different HLO than the bench step and its
-            # cold compile takes ~14 min on this host (warm cache: seconds) —
-            # neither a hang nor a crash there may lose the primary metric.
+            # CLI train step is a different HLO than the bench step, its cold
+            # compile takes ~14 min on this host, and the axon remote-compile
+            # cache is unreliable across processes — neither a hang nor a
+            # crash there may lose the primary metric (a timeout surfaces as
+            # e2e_error instead).
             import subprocess
             import sys
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--metric", "train64_e2e", "--batch", str(batch)],
-                    capture_output=True, text=True, timeout=1500)
+                    capture_output=True, text=True, timeout=2100)
                 for line in proc.stdout.splitlines():
                     line = line.strip()
                     if line.startswith("{"):
