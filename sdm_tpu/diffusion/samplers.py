@@ -103,21 +103,27 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                 cond_img: Optional[jnp.ndarray] = None,
                 labels: Optional[jnp.ndarray] = None,
                 eta: float = 0.0,
-                rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                rng: Optional[jax.Array] = None,
+                zs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """DDIM sampling (eta=0 deterministic by default, matching the reference's
-    hardcoded choice, :84-86)."""
+    hardcoded choice, :84-86). For eta > 0 the per-step gaussian noise comes
+    from `rng`, or can be injected via `zs` (shape (len(steps)-1, *x.shape))
+    for deterministic numeric tests — the same injection design as
+    ddpm_sample."""
     steps = ddim_step_list(min_noise, max_noise, ddim_step_size)
-    if eta != 0.0 and rng is None:
-        raise ValueError("eta > 0 needs rng")
+    if eta != 0.0 and rng is None and zs is None:
+        raise ValueError("eta > 0 needs rng (or injected zs)")
 
     t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)
-    if eta != 0.0:
-        keys = jax.random.split(rng, max(len(steps) - 1, 1))
+    if eta != 0.0 and zs is not None:
+        noise_src = zs
+    elif eta != 0.0:
+        noise_src = jax.random.split(rng, max(len(steps) - 1, 1))
     else:
-        keys = jnp.zeros((max(len(steps) - 1, 1), 2), dtype=jnp.uint32)
+        noise_src = jnp.zeros((max(len(steps) - 1, 1), 2), dtype=jnp.uint32)
 
     def body(x, scan_x):
-        pair, key = scan_x
+        pair, noise_in = scan_x
         t, tm1 = pair[0][None], pair[1][None]
         eps_hat = model_fn(_concat_cond(x, cond_img), t, labels)
         eps_hat = eps_hat.astype(jnp.float32)
@@ -128,9 +134,16 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         _, _, abar_tm1 = schedule.timestep_params(tm1)
         abar_tm1 = abar_tm1.astype(jnp.float32)
         if eta != 0.0:
+            # Song et al. (2021) eq. 16 sigma — the exact expression the
+            # reference computes at diffusion_sampling_algorithms.py:120-126
+            # (with eta hardcoded to 0 at :86; exposing it is this
+            # framework's extension, pinned by test_ddim_eta_matches_torch).
             sigma = eta * (((1.0 - abar_tm1) / (1.0 - abar_t)) ** 0.5
                            * (1.0 - abar_t / abar_tm1) ** 0.5)
-            noise = jax.random.normal(key, x.shape, jnp.float32)
+            if zs is not None:
+                noise = noise_in.astype(jnp.float32)
+            else:
+                noise = jax.random.normal(noise_in, x.shape, jnp.float32)
         else:
             sigma = jnp.zeros_like(abar_t)
             noise = 0.0
@@ -140,7 +153,7 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         return x_new, None
 
     if len(steps) > 1:
-        x_t, _ = lax.scan(body, x_t.astype(jnp.float32), (t_pairs, keys))
+        x_t, _ = lax.scan(body, x_t.astype(jnp.float32), (t_pairs, noise_src))
     else:
         x_t = x_t.astype(jnp.float32)
 

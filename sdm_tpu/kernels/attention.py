@@ -144,19 +144,19 @@ def attention(q, k, v, scale: float, softmax_axis: str = "q",
         if _whole_tile_ok(s, d, q.dtype.itemsize):
             return fused_attention(q, k, v, scale, softmax_axis)
         if streams:
-            return _streaming_4d(q, k, v, scale)
+            return _streaming_4d(q, k, v, scale, softmax_axis)
         return _xla_attention(q, k, v, scale, softmax_axis)
     # "auto"
     if streams and s >= _AUTO_STREAMING_MIN_S:
-        return _streaming_4d(q, k, v, scale)
+        return _streaming_4d(q, k, v, scale, softmax_axis)
     return _xla_attention(q, k, v, scale, softmax_axis)
 
 
-def _streaming_4d(q, k, v, scale: float):
+def _streaming_4d(q, k, v, scale: float, softmax_axis: str = "q"):
     from sdm_tpu.kernels.streaming_attention import streaming_attention
     n, s, h, d = q.shape
     to2d = lambda x: x.transpose(0, 2, 1, 3).reshape(n * h, s, d)
-    o2 = streaming_attention(to2d(q), to2d(k), to2d(v), scale)
+    o2 = streaming_attention(to2d(q), to2d(k), to2d(v), scale, softmax_axis)
     return o2.reshape(n, h, s, d).transpose(0, 2, 1, 3)
 
 

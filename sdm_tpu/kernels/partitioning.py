@@ -18,6 +18,7 @@ the wrapper there via `tpu_interpret_mode()`.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -26,13 +27,28 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def tpu_interpret_mode() -> bool:
-    """True inside pltpu.force_tpu_interpret_mode() (CPU kernel tests)."""
+    """True inside pltpu.force_tpu_interpret_mode() (CPU kernel tests).
+
+    Detection order: the explicit SDM_TPU_PALLAS_INTERPRET env override
+    (0/1; lets callers pin the answer without relying on jax internals),
+    then the private jax config flag the context manager sets. If a jax
+    upgrade removes that flag we raise instead of silently answering False —
+    a wrong False here routes interpret-mode kernels through
+    custom_partitioning (unpartitionable io_callback) and fails confusingly
+    far from the cause."""
+    env = os.environ.get("SDM_TPU_PALLAS_INTERPRET")
+    if env is not None:
+        return env not in ("", "0", "false", "False")
     try:
         from jax._src import config as _jax_config
-        return (_jax_config.pallas_tpu_interpret_mode_context_manager.value
-                is not None)
-    except Exception:
-        return False
+        ctx = _jax_config.pallas_tpu_interpret_mode_context_manager
+    except (ImportError, AttributeError) as e:
+        raise RuntimeError(
+            "Cannot detect Pallas TPU interpret mode: jax no longer exposes "
+            "_src.config.pallas_tpu_interpret_mode_context_manager. Set "
+            "SDM_TPU_PALLAS_INTERPRET=0/1 explicitly (tests set 1 alongside "
+            "pltpu.force_tpu_interpret_mode())." ) from e
+    return ctx.value is not None
 
 
 def batch_partitioned(fn, sharding_rule: str,

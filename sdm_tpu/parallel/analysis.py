@@ -57,17 +57,19 @@ def collective_bytes(hlo_text: str) -> Dict[str, int]:
             continue
         rhs = m.group(1)
         kind = next((k for k in _COLLECTIVES
-                     if re.search(rf"\b{k}(-start)?\(", rhs)), None)
+                     if re.search(rf"\b{k}(-start|-done)?\(", rhs)), None)
         if kind is None:
+            continue
+        if re.search(rf"\b{kind}-start\(", rhs):
+            # Async collectives: the -start op's tuple mixes operand
+            # aliases, results and (for collective-permute / combined
+            # collectives) extra context elements — its shape list is not a
+            # reliable byte count. The paired -done op's output IS exactly
+            # the result landing in HBM, so count that line instead.
             continue
         # Output shape(s) precede the op name on the RHS.
         head = rhs.split(kind)[0]
         shapes = _SHAPE_RE.findall(head)
-        if re.search(rf"\b{kind}-start\(", rhs):
-            # Async collectives are tuple-shaped (operand aliases first,
-            # results second); counting the whole tuple would double the
-            # bytes. Keep the result half only.
-            shapes = shapes[len(shapes) // 2:]
         nbytes = sum(_shape_bytes(d, s) for d, s in shapes)
         totals[kind] += nbytes
         totals["total"] += nbytes

@@ -643,7 +643,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             # Sliding-window rate over the last <=50 host-synced losses —
             # excludes the first (compile) step once enough steps ran; feeds
             # bench.py --metric train64_e2e.
-            "steps_per_sec": timer.steps_per_sec()}
+            "steps_per_sec": timer.steps_per_sec(),
+            # Per-step wall intervals (excluding compile) for distribution
+            # diagnostics in the bench JSON (median/p90/recompile spikes).
+            "step_times": timer.intervals()}
 
 
 def main(spec: TrainerSpec, raw_args=None):

@@ -18,6 +18,10 @@ import os
 import numpy as np
 import pytest
 
+# These four pipeline tests dominate the full suite's runtime on this 1-core
+# host; `pytest -m "not slow"` runs the quick suite (~8 min) without them.
+pytestmark = pytest.mark.slow
+
 
 def _gradient_image(hw=8):
     """Horizontal gradient in [-1, 1], strong structure for the check."""
@@ -112,6 +116,42 @@ def test_train_export_generate_reproduces_structure(tmp_path):
     # The horizontal gradient direction must be reproduced: columns increase
     # left to right.
     col_means = samples.mean(axis=(0, 1, 3))  # (hw,)
+    corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
+    assert corr > 0.95, corr
+
+
+def test_cosine_train_export_generate_reproduces_structure(tmp_path):
+    """Same base/DDIM pipeline as above but on the COSINE schedule, so the
+    on-the-fly cosine alpha_bar (reference degraders.py:63-104) is exercised
+    through train -> export -> generate, not just numerically
+    (tests/test_schedules.py). The other four pipeline tests all train with
+    LINEAR (VERDICT r2 item 6)."""
+    from sdm_tpu.train.loop import BASE_SPEC
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    hw = 8
+    target_decoded = _write_identical_images(tmp_path / "imgs",
+                                             _gradient_image(hw))
+    # Cosine ignores beta1/betaT; alpha_bar(T) ~ 0 at t=T so a pure-noise
+    # start stays valid at T=50 just like the linear recipe.
+    cfg = _cfg(tmp_path, noise_scheduler="COSINE")
+    bundle_dir = _train_and_export(BASE_SPEC, cfg, tmp_path, "conv-cosine",
+                                   "BASE", hw, steps=800)
+    with open(os.path.join(bundle_dir, "config.json")) as f:
+        assert json.load(f)["models"][0]["noise_scheduler"] == "COSINE"
+
+    imgs = generate_images_diffusion(raw_args=[
+        "--num_images", "4", "--device", "cpu",
+        "--diff_alg", "ddim", "--ddim_step_size", "5",
+        "--seed", "3", "--config", os.path.join(bundle_dir, "config.json"),
+        "--dest_path", str(tmp_path),
+    ], log=lambda *a, **k: None, save_locally=False)
+    samples = np.asarray(imgs, np.float32)
+
+    mse = float(np.mean((samples - target_decoded[None]) ** 2))
+    assert mse < 0.05, mse
+    col_means = samples.mean(axis=(0, 1, 3))
     corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
     assert corr > 0.95, corr
 

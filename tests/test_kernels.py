@@ -15,6 +15,9 @@ from sdm_tpu.ops.norms import group_norm
 @pytest.fixture(autouse=True)
 def _interpret_mode(monkeypatch):
     from jax.experimental.pallas import tpu as pltpu
+    # The env var pins sdm_tpu.kernels.partitioning.tpu_interpret_mode()
+    # without relying on jax's private config flag (ADVICE r2).
+    monkeypatch.setenv("SDM_TPU_PALLAS_INTERPRET", "1")
     with pltpu.force_tpu_interpret_mode():
         yield
 
@@ -154,15 +157,17 @@ def test_unet_with_pallas_matches_without():
                                rtol=2e-3, atol=2e-4)
 
 
-def _streaming_xla_ref(q2, k2, v2, scale):
+def _streaming_xla_ref(q2, k2, v2, scale, softmax_axis="q"):
     o = _xla_attention(q2[:, :, None, :], k2[:, :, None, :],
-                       v2[:, :, None, :], scale, "q")
+                       v2[:, :, None, :], scale, softmax_axis)
     return o[:, :, 0, :]
 
 
+@pytest.mark.parametrize("axis", ["q", "k"])
 @pytest.mark.parametrize("dtype", [np.float32, "bfloat16"])
-def test_streaming_attention_fwd_matches_xla(dtype):
-    """Two-pass streaming kernel == XLA query-axis softmax, multi-tile grid
+def test_streaming_attention_fwd_matches_xla(dtype, axis):
+    """Two-pass streaming kernel == XLA softmax on both axes (query-axis =
+    reference parity quirk; key-axis = standard flash), multi-tile grid
     (S=512 with 256-tiles exercises the running-stats and accumulation
     paths)."""
     from sdm_tpu.kernels.streaming_attention import streaming_attention
@@ -172,17 +177,19 @@ def test_streaming_attention_fwd_matches_xla(dtype):
         else jnp.asarray
     q, k, v = (cast(rng.standard_normal((bh, s, d)).astype(np.float32))
                for _ in range(3))
-    ours = streaming_attention(q, k, v, d ** -0.5)
-    ref = _streaming_xla_ref(q, k, v, d ** -0.5)
+    ours = streaming_attention(q, k, v, d ** -0.5, axis)
+    ref = _streaming_xla_ref(q, k, v, d ** -0.5, axis)
     tol = dict(rtol=2e-4, atol=2e-5) if dtype == np.float32 else \
         dict(rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(ours, np.float32),
                                np.asarray(ref, np.float32), **tol)
 
 
-def test_streaming_attention_grads_match_xla():
+@pytest.mark.parametrize("axis", ["q", "k"])
+def test_streaming_attention_grads_match_xla(axis):
     """Custom streamed VJP (dQ, dK, dV via tile-recomputed P and the
-    c_j = dV.V softmax-Jacobian correction) == autodiff through XLA."""
+    softmax-Jacobian correction — c_j = dV.V for the query axis, D_i = g.out
+    for the key axis) == autodiff through XLA."""
     from sdm_tpu.kernels.streaming_attention import streaming_attention
     rng = np.random.default_rng(11)
     bh, s, d = 1, 512, 128
@@ -190,10 +197,10 @@ def test_streaming_attention_grads_match_xla():
                for _ in range(3))
 
     def loss_s(q, k, v):
-        return jnp.sum(jnp.sin(streaming_attention(q, k, v, d ** -0.5)))
+        return jnp.sum(jnp.sin(streaming_attention(q, k, v, d ** -0.5, axis)))
 
     def loss_r(q, k, v):
-        return jnp.sum(jnp.sin(_streaming_xla_ref(q, k, v, d ** -0.5)))
+        return jnp.sum(jnp.sin(_streaming_xla_ref(q, k, v, d ** -0.5, axis)))
 
     gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
@@ -209,8 +216,8 @@ def test_attention_dispatcher_modes(monkeypatch):
     calls = []
     monkeypatch.setattr(ka, "_kernel_backend", lambda: True)
     monkeypatch.setattr(ka, "_streaming_4d",
-                        lambda q, k, v, scale: calls.append("stream")
-                        or _xla_attention(q, k, v, scale, "q"))
+                        lambda q, k, v, scale, ax="q": calls.append("stream")
+                        or _xla_attention(q, k, v, scale, ax))
     monkeypatch.setattr(ka, "fused_attention",
                         lambda q, k, v, scale, ax: calls.append("tile")
                         or _xla_attention(q, k, v, scale, ax))
@@ -233,7 +240,9 @@ def test_attention_dispatcher_modes(monkeypatch):
     ka.attention(q, k, v, 128 ** -0.5, "q", mode=True)
     assert calls == ["tile", "stream", "stream"]  # no VMEM fit -> streaming
     ka.attention(q, k, v, 128 ** -0.5, "k", mode="auto")
-    assert calls == ["tile", "stream", "stream"]  # key-axis softmax: XLA
+    # Key-axis (parity=False) big grids stream too (VERDICT r2 weakness 5:
+    # previously they silently fell back to the XLA S^2 path).
+    assert calls == ["tile", "stream", "stream", "stream"]
 
 
 def test_partition_batch0_shards_over_dim0_without_gather():

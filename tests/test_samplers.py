@@ -140,6 +140,63 @@ def test_ddpm_parity_injected_noise():
                                rtol=5e-3, atol=5e-4)
 
 
+def test_ddim_eta_matches_torch():
+    """The eta > 0 branch (stochastic DDIM) is this framework's extension —
+    the reference computes the same sigma expression but hardcodes eta = 0
+    (diffusion_sampling_algorithms.py:84-86, :120-126). Pin the eta-sigma
+    formula numerically against an independent torch implementation of the
+    Song et al. (2021) eq. 12/16 update, with the real (converted) reference
+    U-Net as the denoiser and injected per-step noise on both sides."""
+    ref_net, model_fn = _build_pair(CFG)
+    sched = LinearSchedule.create(5e-3, 9e-3, 1000)
+    ref_sched = REF.NoiseDegradation(5e-3, 9e-3, 1000, "cpu")
+    eta = 0.7
+    min_noise, max_noise, step_size = 1, 40, 7
+    steps = ddim_step_list(min_noise, max_noise, step_size)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    zs = rng.standard_normal((len(steps) - 1, 2, 16, 16, 3)).astype(np.float32)
+
+    # Torch-side eta-DDIM: the reference's ddim_sampling loop with eta as a
+    # real parameter and the per-step noise injected.
+    x_t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    with torch.no_grad():
+        for count in range(len(steps)):
+            t = torch.tensor([steps[count]])
+            noise_approx = ref_net(x_t, t, None)
+            _, _, abar_t = ref_sched.get_timestep_params(t)
+            x0_approx = (x_t - (1 - abar_t) ** 0.5 * noise_approx) / abar_t ** 0.5
+            if count < len(steps) - 1:
+                tm1 = torch.tensor([steps[count + 1]])
+                _, _, abar_tm1 = ref_sched.get_timestep_params(tm1)
+                sigma = eta * (((1 - abar_tm1) / (1 - abar_t)) ** 0.5
+                               * (1 - abar_t / abar_tm1) ** 0.5)
+                eps = torch.from_numpy(
+                    np.ascontiguousarray(zs[count].transpose(0, 3, 1, 2)))
+                x_t = (abar_tm1 ** 0.5 * x0_approx
+                       + (1 - abar_tm1 - sigma ** 2) ** 0.5 * noise_approx
+                       + sigma * eps)
+    theirs = x0_approx if steps[-1] == 1 else x_t
+
+    ours = jax.jit(lambda xt, z: ddim_sample(
+        model_fn, sched, xt, min_noise=min_noise, max_noise=max_noise,
+        ddim_step_size=step_size, eta=eta, zs=z))(
+        jnp.asarray(x), jnp.asarray(zs))
+    np.testing.assert_allclose(np.asarray(ours), _nhwc(theirs),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_ddim_eta_rng_path_runs():
+    _, model_fn = _build_pair(CFG)
+    sched = LinearSchedule.create(5e-3, 9e-3, 1000)
+    x = jnp.zeros((1, 16, 16, 3))
+    out = jax.jit(lambda xt, k: ddim_sample(
+        model_fn, sched, xt, rng=k, min_noise=1, max_noise=30,
+        ddim_step_size=10, eta=0.5))(x, jax.random.PRNGKey(0))
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_ddpm_rng_path_runs():
     _, model_fn = _build_pair(CFG)
     sched = CosineSchedule.create(1000)

@@ -90,6 +90,66 @@ def test_single_step_loss_and_grad_parity_vs_torch():
     assert checked > 40
 
 
+def test_multi_step_trajectory_parity_vs_torch():
+    """8 CONSECUTIVE train steps in both frameworks from the same converted
+    init, with injected per-step t/eps batches and lr_steps=3 so two LR
+    halvings land mid-trajectory (after steps 3 and 6): per-step losses and
+    the final parameter trajectory must stay within tolerance. Pins the
+    integration of Adam state, LR halving and step counting over time that
+    the single-step tests above cannot (reference loop:
+    train_diffusion.py:333-371)."""
+    lr, lr_steps, n_steps = 1e-3, 3, 8
+    ref_net, ref_sched, net, sched, params, _, apply_fn = _setup(lr=lr)
+    tx = make_optimizer(lr, lr_steps=lr_steps)
+    rng = np.random.default_rng(11)
+    batches = [
+        (rng.standard_normal((4, 16, 16, 3)).astype(np.float32),
+         rng.standard_normal((4, 16, 16, 3)).astype(np.float32),
+         rng.integers(1, 1000, size=(4,)).astype(np.int64))
+        for _ in range(n_steps)]
+
+    # --- torch side: the reference's loop order — q_sample -> fwd -> mse ->
+    # backward -> Adam step -> halve LR when global_steps % lr_steps == 0
+    # (train_diffusion.py:333-371), fp32 / no autocast.
+    optim = torch.optim.Adam(ref_net.parameters(), lr=lr, betas=(0.5, 0.999))
+    ref_losses = []
+    for global_steps, (imgs, eps, t) in enumerate(batches):
+        optim.zero_grad()
+        x_t = ref_sched.forward(
+            torch.from_numpy(imgs.transpose(0, 3, 1, 2)),
+            torch.from_numpy(t),
+            torch.from_numpy(eps.transpose(0, 3, 1, 2)))
+        pred = ref_net(x_t, torch.from_numpy(t), None)
+        loss = F.mse_loss(pred, torch.from_numpy(eps.transpose(0, 3, 1, 2)))
+        loss.backward()
+        optim.step()
+        ref_losses.append(float(loss.detach()))
+        if global_steps % lr_steps == 0 and global_steps > 0:
+            for g in optim.param_groups:
+                g["lr"] = g["lr"] * 0.5
+
+    # --- our side: the real jitted train step, chained state.
+    step_fn = jax.jit(make_train_step(apply_fn, sched, tx,
+                                      objective=Objective.EPS))
+    state = create_train_state(params, tx)
+    our_losses = []
+    for imgs, eps, t in batches:
+        batch = {"image": jnp.asarray(imgs), "eps": jnp.asarray(eps),
+                 "t": jnp.asarray(t)}
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+        our_losses.append(float(metrics["loss"]))
+
+    assert int(state.step) == n_steps
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
+    ours_sd = params_to_torch_state_dict(jax.tree.map(np.asarray, state.params))
+    for k, v in ref_net.state_dict().items():
+        # Adam normalizes each update to ~lr, so tiny cross-framework grad
+        # noise can deflect individual near-zero-grad params by a fraction
+        # of lr per step; bound the drift at ~1/4 of one step's update.
+        np.testing.assert_allclose(ours_sd[k].numpy(), v.numpy(),
+                                   rtol=2e-3, atol=2.5e-4, err_msg=k)
+
+
 def test_adam_update_matches_torch_given_same_grads():
     """Feed identical gradients to torch Adam(0.5, 0.999) and our optimizer:
     the resulting parameter deltas must match tightly (same algorithm, same
