@@ -106,6 +106,10 @@ def _pallas_adagn_impl(x, gn_scale, gn_bias, mod_scale, mod_shift,
 
     n, h, w, c = x.shape
     x2 = x.reshape(n, h * w, c)
+    # Output dtype follows jnp promotion (the FiLM multiply in _xla_adagn
+    # promotes) so both code paths of the custom_vjp agree for any input
+    # dtype mix — e.g. bf16 x with fp32 FiLM tables.
+    out_dtype = jnp.result_type(x.dtype, mod_scale.dtype, mod_shift.dtype)
     kernel = functools.partial(_adagn_kernel, num_groups=num_groups, eps=eps,
                                spatial=h * w)
     o2 = pl.pallas_call(
@@ -124,7 +128,7 @@ def _pallas_adagn_impl(x, gn_scale, gn_bias, mod_scale, mod_shift,
         ],
         out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, h * w, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h * w, c), out_dtype),
     )(x2, gn_scale, gn_bias, mod_scale, mod_shift)
     return o2.reshape(n, h, w, c)
 

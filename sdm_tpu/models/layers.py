@@ -64,6 +64,27 @@ class TorchLinear(nn.Module):
         return (y + bias.astype(jnp.float32)).astype(dtype)
 
 
+class _LinearParams(nn.Module):
+    """Declares TorchLinear's parameters (same names, shapes, init) without
+    running the matmul — lets fused kernels that consume the raw kernel/bias
+    (kernels/attention_block.py) share a checkpoint-identical param tree with
+    the composed TorchLinear path."""
+
+    features: int
+    in_features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        bound = 1.0 / math.sqrt(self.in_features)
+        kernel = self.param("kernel", _uniform_init(bound),
+                            (self.in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", _uniform_init(bound),
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class TorchConv(nn.Module):
     """Conv2d with torch init/semantics; kernel stored HWIO."""
 
@@ -256,6 +277,29 @@ class AttentionBlock(nn.Module):
                                name="norm")(x)
 
         tokens = x.reshape(n, h * w, c)
+        softmax_axis = "q" if self.parity else "k"
+
+        from sdm_tpu.kernels.attention import _kernel_backend
+        from sdm_tpu.kernels import attention_block as ab
+        dtype = self.dtype or x.dtype
+        if (self.use_pallas is True and _kernel_backend()
+                and ab.supports(h * w, c, d_k, self.heads,
+                                jnp.dtype(dtype).itemsize)):
+            # Whole-block fused kernel: qkv proj + softmax + out proj +
+            # residual in one VMEM pass (SURVEY §7.8a). Opt-in via a literal
+            # use_pallas=True; param scopes/names identical to the composed
+            # path below so checkpoints are interchangeable.
+            w_qkv, b_qkv = _LinearParams(self.heads * d_k * 3, c,
+                                         param_dtype=self.param_dtype,
+                                         name="projection")()
+            w_out, b_out = _LinearParams(c, self.heads * d_k,
+                                         param_dtype=self.param_dtype,
+                                         name="output")()
+            res = ab.fused_attention_block(
+                tokens.astype(dtype), w_qkv, b_qkv, w_out, b_out, scale,
+                softmax_axis)
+            return res.reshape(n, h, w, c)
+
         qkv = TorchLinear(self.heads * d_k * 3, dtype=self.dtype,
                           param_dtype=self.param_dtype, name="projection")(tokens)
         qkv = qkv.reshape(n, h * w, self.heads, 3 * d_k)
@@ -263,7 +307,7 @@ class AttentionBlock(nn.Module):
 
         from sdm_tpu.kernels.attention import attention
         res = attention(q, k, v, scale=scale,
-                        softmax_axis=("q" if self.parity else "k"),
+                        softmax_axis=softmax_axis,
                         mode=self.use_pallas)
 
         res = res.reshape(n, h * w, self.heads * d_k)

@@ -139,6 +139,41 @@ def test_adagn_grad_matches_xla():
                                    rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("axis", ["q", "k"])
+def test_fused_attention_block_matches_xla_composite(axis):
+    """Whole-block fusion (qkv proj + softmax + out proj + residual in one
+    kernel) == the XLA composite it replaces, fwd and grads (grads go through
+    the rematerialized XLA backward, so this pins the wiring)."""
+    from sdm_tpu.kernels.attention_block import (
+        fused_attention_block, _xla_block, supports)
+    assert supports(256, 128, 128, 1, 4)
+    assert not supports(256, 128, 128, 2, 4)    # multi-head: composed path
+    assert not supports(64, 128, 128, 1, 4)     # tiny grid
+    assert not supports(4096, 512, 512, 1, 2)   # SR grid: over VMEM
+
+    rng = np.random.default_rng(20)
+    n, s, c = 2, 256, 128
+    tok = jnp.asarray(rng.standard_normal((n, s, c)).astype(np.float32))
+    w_qkv = jnp.asarray(rng.standard_normal((c, 3 * c)).astype(np.float32) * 0.05)
+    b_qkv = jnp.asarray(rng.standard_normal((3 * c,)).astype(np.float32) * 0.05)
+    w_out = jnp.asarray(rng.standard_normal((c, c)).astype(np.float32) * 0.05)
+    b_out = jnp.asarray(rng.standard_normal((c,)).astype(np.float32) * 0.05)
+    args = (tok, w_qkv, b_qkv, w_out, b_out)
+
+    ours = fused_attention_block(*args, c ** -0.5, axis)
+    ref = _xla_block(*args, c ** -0.5, axis)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    g1 = jax.grad(lambda *a: jnp.sum(
+        fused_attention_block(*a, c ** -0.5, axis) ** 2), argnums=(0, 1, 2, 3, 4))(*args)
+    g2 = jax.grad(lambda *a: jnp.sum(
+        _xla_block(*a, c ** -0.5, axis) ** 2), argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_unet_with_pallas_matches_without():
     from sdm_tpu.models import UNet
     cfg = dict(num_resnet_blocks=1, in_channel=3, out_channel=3, time_dim=16,
