@@ -81,6 +81,14 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                              "reference's inference numerics; bfloat16 runs "
                              "the trajectory ~2x faster on TPU (params are "
                              "cast too, halving HBM traffic per model call).")
+    parser.add_argument("--pipeline", type=int, default=None, metavar="M",
+                        help="Pipeline-parallel ensemble sampling: place "
+                             "each bundle model on its own device and stream "
+                             "M microbatches through the chain (throughput "
+                             "~ slowest stage instead of sum of stages). "
+                             "Needs a multi-model bundle and >1 device; "
+                             "num_images must divide by M. Mutually "
+                             "exclusive with --num-devices data parallelism.")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -127,6 +135,16 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             np.repeat(cond_img[None], args["num_images"], axis=0))
 
     models_details, folder = load_bundle_config(args["config"])
+
+    if args["pipeline"]:
+        if args["num_devices"] and args["num_devices"] > 1:
+            raise ValueError("--pipeline and --num-devices data parallelism "
+                             "are mutually exclusive")
+        if len(models_details["models"]) < 2:
+            raise ValueError("--pipeline needs a multi-model (ensemble) "
+                             "bundle; single-model bundles gain nothing")
+        return _pipeline_generate(args, models_details, folder, rng,
+                                  cond_img, out_dir, log, save_locally)
 
     from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
     mesh = auto_data_mesh(args["num_images"], args["num_devices"])
@@ -182,6 +200,11 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
 
+    return _finish(x_t, img_h, img_w, out_dir, log, save_locally)
+
+
+def _finish(x_t, img_h, img_w, out_dir, log, save_locally):
+    from sdm_tpu.io.plotting import plot_sampled_images
     x_t = np.asarray(x_t)
     if save_locally:
         datetime_now = datetime.now().strftime("%d-%m-%Y %H:%M:%S")
@@ -190,6 +213,93 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         plot_sampled_images(x_t, unique_name, dest_path=out_dir, log=log)
         return None
     return x_t
+
+
+def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
+                       log, save_locally):
+    """Pipeline-parallel ensemble sampling: stage k (bundle model k) lives on
+    device k mod n_devices; --pipeline M microbatches stream through the
+    chain (sdm_tpu/parallel/pipeline.py). DDIM output is bit-identical to
+    the sequential path for the same seed — the initial noise draw and RNG
+    split order are mirrored exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdm_tpu.enums import DiffusionAlg
+    from sdm_tpu.diffusion.samplers import ddpm_sample, ddim_sample
+    from sdm_tpu.io.bundles import build_model_from_bundle
+    from sdm_tpu.parallel.pipeline import pipeline_chain
+
+    models = models_details["models"]
+    devices = jax.devices()
+    n_imgs = args["num_images"]
+    n_micro = args["pipeline"]
+    ddim = args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower()
+    if not ddim and args["diff_alg"].lower() != DiffusionAlg.DDPM.name.lower():
+        raise ValueError("Invalid Diffusion Algorithm type.")
+    compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
+
+    md0 = models[0]
+    img_c, img_h, img_w = md0["img_C"], md0["img_H"], md0["img_W"]
+    rng, nk = jax.random.split(rng)
+    x_t = jax.random.normal(nk, (n_imgs, img_h, img_w, img_c), jnp.float32)
+    if n_imgs % n_micro != 0:
+        raise ValueError(f"--pipeline {n_micro} must divide -n {n_imgs}")
+    size = n_imgs // n_micro
+
+    stage_fns, stage_devs = [], []
+    for i, model_dict in enumerate(models):
+        dev = devices[i % len(devices)]
+        log(f"Pipeline stage {i + 1}/{len(models)} on {dev}: "
+            f"{model_dict['model_name']} "
+            f"[{model_dict['min_noise']}..{model_dict['max_noise']}]")
+        if model_dict["cond_dim"] is not None:
+            if (args["labels"] is None
+                    or len(args["labels"]) != model_dict["cond_dim"]):
+                raise ValueError("Invalid / No conditional labels passed!")
+            labels = jax.device_put(
+                jnp.asarray(np.asarray(args["labels"], np.float32)), dev)
+        else:
+            labels = None
+        model_fn_factory, schedule, _, params = build_model_from_bundle(
+            model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
+            cast_params=compute_dtype is not None)
+        params = jax.device_put(params, dev)  # committed: jit runs on dev
+        if cond_img is not None:
+            cond_chunks = [jax.device_put(cond_img[m * size:(m + 1) * size],
+                                          dev) for m in range(n_micro)]
+        else:
+            cond_chunks = None
+
+        if ddim:
+            jf = jax.jit(lambda p, xt, l, c, md=model_dict, sch=schedule,
+                         f=model_fn_factory: ddim_sample(
+                             f(p), sch, xt, min_noise=md["min_noise"],
+                             max_noise=md["max_noise"],
+                             ddim_step_size=args["ddim_step_size"],
+                             cond_img=c, labels=l))
+
+            def stage(xm, m, jf=jf, params=params, labels=labels,
+                      cc=cond_chunks):
+                return jf(params, xm, labels, cc[m] if cc else None)
+        else:
+            rng, sk = jax.random.split(rng)
+            jf = jax.jit(lambda p, xt, k, l, c, md=model_dict, sch=schedule,
+                         f=model_fn_factory: ddpm_sample(
+                             f(p), sch, xt, rng=k,
+                             min_noise=md["min_noise"],
+                             max_noise=md["max_noise"],
+                             cond_img=c, labels=l))
+
+            def stage(xm, m, jf=jf, params=params, labels=labels,
+                      cc=cond_chunks, sk=sk):
+                return jf(params, xm, jax.random.fold_in(sk, m), labels,
+                          cc[m] if cc else None)
+        stage_fns.append(stage)
+        stage_devs.append(dev)
+
+    x_t = pipeline_chain(stage_fns, stage_devs, x_t, n_micro)
+    return _finish(x_t, img_h, img_w, out_dir, log, save_locally)
 
 
 def run(raw_args=None):

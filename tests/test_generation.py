@@ -210,6 +210,52 @@ def test_ddim_generator_dp_sampling_matches_single_device(tmp_path):
     np.testing.assert_allclose(out8, out1, rtol=1e-5, atol=1e-6)
 
 
+def test_ddim_generator_pipeline_matches_sequential(tmp_path):
+    """--pipeline M (each ensemble stage pinned to its own device, M
+    microbatches streamed through the chain) must reproduce the sequential
+    ensemble chain exactly for DDIM — the sampler is deterministic and the
+    initial-noise RNG split order is mirrored."""
+    _, p1 = _save_ref_ckpt(tmp_path, "pp1.pt", seed=10)
+    _, p2 = _save_ref_ckpt(tmp_path, "pp2.pt", seed=11)
+    bundle = export_bundle(
+        "pipemodel", str(tmp_path), img_c=3, img_h=16, img_w=16,
+        model_type="BASE",
+        entries=[(_train_cfg(11, 20), p1), (_train_cfg(1, 10), p2)])
+    config = os.path.join(bundle, "config.json")
+    common = ["-c", config, "-n", "4", "--diff_alg", "ddim",
+              "--ddim_step_size", "4", "-s", "77"]
+    quiet = dict(save_locally=False, log=lambda *a, **k: None)
+    seq = generate_images_diffusion(common, **quiet)
+    pipe = generate_images_diffusion(common + ["--pipeline", "2"], **quiet)
+    np.testing.assert_allclose(pipe, seq, rtol=1e-5, atol=1e-6)
+
+    # DDPM through the pipeline (per-microbatch RNG folding — no sequential
+    # bit-parity, but must run and stay finite).
+    ddpm = generate_images_diffusion(
+        ["-c", config, "-n", "4", "-s", "77", "--pipeline", "2"], **quiet)
+    assert ddpm.shape == seq.shape and np.all(np.isfinite(ddpm))
+
+    # Guard rails: DP and pipeline are mutually exclusive; microbatches must
+    # divide the batch.
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        generate_images_diffusion(
+            common + ["--pipeline", "2", "--num-devices", "2"], **quiet)
+    with pytest.raises(ValueError, match="divide"):
+        generate_images_diffusion(common + ["--pipeline", "3"], **quiet)
+
+
+def test_pipeline_rejects_single_model_bundle(tmp_path):
+    _, p = _save_ref_ckpt(tmp_path, "solo.pt", seed=12)
+    bundle = export_bundle("solomodel", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(1, 10), p)])
+    config = os.path.join(bundle, "config.json")
+    with pytest.raises(ValueError, match="multi-model"):
+        generate_images_diffusion(
+            ["-c", config, "-n", "2", "--pipeline", "2"],
+            save_locally=False, log=lambda *a, **k: None)
+
+
 def test_ddim_generator_bf16_dtype_close_to_fp32(tmp_path, monkeypatch):
     """--dtype bfloat16 (opt-in fast sampling) runs the same trajectory in
     bf16 with bf16-cast params; random weights + 4 DDIM steps keep it within

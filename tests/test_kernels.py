@@ -280,6 +280,40 @@ def test_attention_dispatcher_modes(monkeypatch):
     assert calls == ["tile", "stream", "stream", "stream"]
 
 
+def test_partition_with_replicated_weight_args():
+    """batch_argnums selects which args shard on dim 0; the rest must be
+    fully replicated — the layout the whole-block attention kernel uses
+    (tokens sharded, projection weights/biases replicated). Pin values,
+    output sharding, and no all-gather of the batch operand."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from sdm_tpu.kernels.partitioning import batch_partitioned
+
+    fn = batch_partitioned(
+        lambda t, w, b: jnp.einsum("nsc,ce->nse", t, w) + b[0][None, None, :],
+        "n s c, c e, u e -> n s e",
+        need_replication=("s", "c", "e", "u"),
+        batch_argnums=(0,))
+
+    rng = np.random.default_rng(4)
+    t = jnp.asarray(rng.standard_normal((8, 16, 4)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((4, 6)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, 6)).astype(np.float32))
+    expect = np.einsum("nsc,ce->nse", np.asarray(t), np.asarray(w)) + \
+        np.asarray(b)[0][None, None, :]
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    ts = jax.device_put(t, NamedSharding(mesh, P("data")))
+    ws = jax.device_put(w, NamedSharding(mesh, P()))
+    bs = jax.device_put(b, NamedSharding(mesh, P()))
+    jitted = jax.jit(fn)
+    out = jitted(ts, ws, bs)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5, atol=1e-5)
+    assert out.sharding.spec[0] == "data", out.sharding
+    hlo = jitted.lower(ts, ws, bs).compile().as_text()
+    assert "all-gather" not in hlo
+
+
 def test_partition_batch0_shards_over_dim0_without_gather():
     """The custom_partitioning wrapper used by streaming_attention must run
     per-shard over dim 0 on a sharded mesh — correct values, sharded output,
