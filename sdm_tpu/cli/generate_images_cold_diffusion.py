@@ -56,6 +56,9 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
                              "reference's inference numerics; bfloat16 runs "
                              "the trajectory ~2x faster on TPU (params are "
                              "cast too, halving HBM traffic per model call).")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Sample from the EMA weights stored in the "
+                             "checkpoint (training config \"ema_decay\").")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -99,7 +102,8 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
         model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
-            cast_params=compute_dtype is not None)
+            cast_params=compute_dtype is not None,
+            param_key="ema" if args["use_ema"] else "model")
 
         if noise is None:
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],

@@ -81,6 +81,16 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                              "reference's inference numerics; bfloat16 runs "
                              "the trajectory ~2x faster on TPU (params are "
                              "cast too, halving HBM traffic per model call).")
+    parser.add_argument("--guidance-scale", type=float, default=1.0,
+                        help="Classifier-free guidance scale for label-"
+                             "conditional models (1.0 = off, the reference's "
+                             "plain conditional sampling; >1 sharpens "
+                             "conditional structure by extrapolating away "
+                             "from the zero-label branch — train with "
+                             "cfg_drop_prob > 0 for best results).")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="Sample from the EMA weights stored in the "
+                             "checkpoint (training config \"ema_decay\").")
     parser.add_argument("--pipeline", type=int, default=None, metavar="M",
                         help="Pipeline-parallel ensemble sampling: place "
                              "each bundle model on its own device and stream "
@@ -177,9 +187,20 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             labels = None
 
         compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
-        model_fn_factory, schedule, _, params = build_model_from_bundle(
+        raw_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
-            cast_params=compute_dtype is not None)
+            cast_params=compute_dtype is not None,
+            param_key="ema" if args["use_ema"] else "model")
+
+        gs = args["guidance_scale"]
+        if gs != 1.0 and labels is None:
+            raise ValueError("--guidance-scale needs a label-conditional "
+                             "model and -l labels")
+        if gs != 1.0:
+            from sdm_tpu.diffusion.guidance import cfg_model_fn
+            model_fn_factory = lambda p: cfg_model_fn(raw_factory(p), gs)
+        else:
+            model_fn_factory = raw_factory
 
         # params travel as a jit argument (not a closure) so the compiled
         # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
@@ -263,7 +284,16 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
             labels = None
         model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
-            cast_params=compute_dtype is not None)
+            cast_params=compute_dtype is not None,
+            param_key="ema" if args["use_ema"] else "model")
+        gs = args["guidance_scale"]
+        if gs != 1.0:
+            if labels is None:
+                raise ValueError("--guidance-scale needs a label-conditional "
+                                 "model and -l labels")
+            from sdm_tpu.diffusion.guidance import cfg_model_fn
+            model_fn_factory = (lambda p, f=model_fn_factory:
+                                cfg_model_fn(f(p), gs))
         params = jax.device_put(params, dev)  # committed: jit runs on dev
         if cond_img is not None:
             cond_chunks = [jax.device_put(cond_img[m * size:(m + 1) * size],

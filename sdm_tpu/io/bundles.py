@@ -35,7 +35,8 @@ def load_bundle_config(config_path: str) -> Tuple[dict, str]:
 
 
 def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
-                            max_T: int, dtype=None, cast_params: bool = False):
+                            max_T: int, dtype=None, cast_params: bool = False,
+                            param_key: str = "model"):
     """Returns (model_fn_factory, schedule, net, params) for one bundle
     entry: the UNet with its checkpoint loaded, and the degrader rebuilt
     from bundle params (generate_images_diffusion.py:187-227).
@@ -43,7 +44,9 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     `dtype` sets the compute dtype (None = fp32, the reference's inference
     numerics). `cast_params=True` additionally stores the checkpoint weights
     in that dtype: sampling never updates params, so bf16 params halve the
-    HBM param traffic of every one of the trajectory's model calls."""
+    HBM param traffic of every one of the trajectory's model calls.
+    `param_key="ema"` samples from the EMA average a training run with
+    "ema_decay" stored alongside "model" (generators' --use-ema flag)."""
     scheduler_name = str(model_dict["noise_scheduler"])
     schedule = make_schedule(
         scheduler_name,
@@ -68,8 +71,12 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     ok, ckpt = load_checkpoint(model_path, log=lambda *a, **k: None)
     if not ok:
         raise Exception("Failed to load model!")
+    if param_key != "model" and param_key not in ckpt:
+        raise ValueError(
+            f"checkpoint {model_dict['model_name']} has no '{param_key}' "
+            "weights (was it trained with ema_decay set?)")
     params = jax.tree.map(jnp.asarray,
-                          torch_state_dict_to_params(ckpt["model"]))
+                          torch_state_dict_to_params(ckpt[param_key]))
     if cast_params and dtype is not None:
         params = jax.tree.map(
             lambda p: (p.astype(dtype)

@@ -55,21 +55,32 @@ def load_checkpoint(checkpoint_path: str, log=print) -> Tuple[bool, Optional[dic
     return False, None
 
 
-def diffusion_checkpoint_dict(params, opt_state=None, lr: float = 0.0) -> Dict[str, Any]:
-    """Build the reference-format model checkpoint from JAX training state."""
+def diffusion_checkpoint_dict(params, opt_state=None, lr: float = 0.0,
+                              ema_params=None) -> Dict[str, Any]:
+    """Build the reference-format model checkpoint from JAX training state.
+
+    `ema_params` (config "ema_decay" extension) is stored under an extra
+    "ema" key in the same torch state-dict naming as "model" — the
+    reference's loader only reads "model"/"optimizer" (train_diffusion.py:
+    207-220), so EMA-carrying checkpoints stay loadable there unchanged."""
     import jax
     params_np = jax.tree.map(np.asarray, params)
     out = {"model": params_to_torch_state_dict(params_np)}
     if opt_state is not None:
         out["optimizer"] = optax_adam_to_torch(opt_state, params_np, lr)
+    if ema_params is not None:
+        ema_np = jax.tree.map(np.asarray, ema_params)
+        out["ema"] = params_to_torch_state_dict(ema_np)
     return out
 
 
-def load_params_from_checkpoint(ckpt: dict, own_params, log=print):
+def load_params_from_checkpoint(ckpt: dict, own_params, log=print,
+                                key: str = "model"):
     """Reference custom_load_state_dict semantics: partial load, skipping
-    missing/mismatched keys (U_Net.py:132-145)."""
+    missing/mismatched keys (U_Net.py:132-145). `key` selects which
+    state dict to read ("model", or "ema" for EMA-resume)."""
     import jax
-    converted = torch_state_dict_to_params(ckpt["model"])
+    converted = torch_state_dict_to_params(ckpt[key])
     own_np = jax.tree.map(np.asarray, own_params)
     return merge_partial_params(own_np, converted, log=log)
 

@@ -264,6 +264,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     tx = make_optimizer(diffusion_lr, lr_steps)
 
     pending_optimizer = None
+    pending_ema = None
     if diffusion_checkpoint is not None:
         ok, ckpt = load_checkpoint(diffusion_checkpoint, log=logging.info)
         if not ok:
@@ -272,6 +273,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         params = jax.tree.map(jnp.asarray, params)
         if load_diffusion_optim:
             pending_optimizer = ckpt["optimizer"]
+        pending_ema = ckpt if "ema" in ckpt else None
 
     if config_checkpoint is not None:
         ok, cfg_ckpt = load_checkpoint(config_checkpoint, log=logging.info)
@@ -288,11 +290,24 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                              beta_T=beta_T if beta_T is not None else 9e-3,
                              max_noise_step=max_noise_step)
 
-    state = create_train_state(params, tx, step=global_steps)
+    # EMA (config "ema_decay", e.g. 0.9999; TPU-build extension, default off):
+    # track an exponential moving average of params in the train state;
+    # previews sample from it and checkpoints carry it under an extra "ema"
+    # key the reference's loader ignores.
+    ema_decay = config_dict.get("ema_decay")
+    ema_decay = float(ema_decay) if ema_decay is not None else None
+    state = create_train_state(params, tx, step=global_steps,
+                               ema=ema_decay is not None)
+    if ema_decay is not None and pending_ema is not None:
+        # Resume the average itself when the checkpoint carries one
+        # (otherwise it restarts from the freshly-loaded params).
+        ema_np = load_params_from_checkpoint(pending_ema, state.ema_params,
+                                             log=logging.info, key="ema")
+        state = state.replace(ema_params=jax.tree.map(jnp.asarray, ema_np))
     if pending_optimizer is not None:
         opt_state = load_optimizer_from_checkpoint(
             {"optimizer": pending_optimizer}, state.params, state.opt_state)
-        state = TrainState(state.step, state.params, opt_state)
+        state = state.replace(opt_state=opt_state)
 
     # Gradient accumulation (config "grad_accum_steps", default 1): the
     # optimizer still takes one step per global step on the full batch_size
@@ -330,7 +345,12 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         min_noise_step=min_noise_step,
                         max_actual_noise_step=max_actual_noise_step,
                         flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim,
-                        grad_accum_steps=grad_accum),
+                        grad_accum_steps=grad_accum,
+                        # CFG label dropout (config "cfg_drop_prob", default
+                        # 0 = parity): see diffusion/guidance.py.
+                        cfg_drop_prob=float(
+                            config_dict.get("cfg_drop_prob", 0.0)),
+                        ema_decay=ema_decay),
         donate_argnums=(0,))
 
     def lr_of(step_count) -> float:
@@ -462,7 +482,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             # collective computations from a single process.
             state = TrainState(step=np.asarray(state.step),
                                params=mh.localize(state.params),
-                               opt_state=mh.localize(state.opt_state))
+                               opt_state=mh.localize(state.opt_state),
+                               ema_params=(mh.localize(state.ema_params)
+                                           if state.ema_params is not None
+                                           else None))
         if not async_ckpt:
             checkpoint_and_preview(state, rng_key, steps, with_preview)
             return
@@ -470,7 +493,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             ckpt_worker["thread"].join()  # at most one in flight
         snap = TrainState(step=state.step,
                           params=jax.tree.map(jnp.copy, state.params),
-                          opt_state=jax.tree.map(jnp.copy, state.opt_state))
+                          opt_state=jax.tree.map(jnp.copy, state.opt_state),
+                          ema_params=jax.tree.map(jnp.copy, state.ema_params))
         t = threading.Thread(target=checkpoint_and_preview,
                              args=(snap, rng_key, steps, with_preview),
                              daemon=True)
@@ -492,7 +516,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                    steps=int(steps), log=logging.info)
         ckpt = diffusion_checkpoint_dict(
             state.params, state.opt_state,
-            lr=lr_of(steps))
+            lr=lr_of(steps), ema_params=state.ema_params)
         save_model(ckpt, "diffusion", out_dir, checkpoint=True,
                    steps=int(steps), log=logging.info)
         if config_dict.get("native_checkpoint"):
@@ -501,7 +525,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if not with_preview:
             return
         try:
-            imgs = run_preview(state.params, rng_key)
+            # Previews sample from the EMA weights when tracked — the
+            # standard diffusion practice the averaged weights exist for.
+            pv_params = (state.ema_params if state.ema_params is not None
+                         else state.params)
+            imgs = run_preview(pv_params, rng_key)
             plot_sampled_images(imgs, f"diffusion_plot_{int(steps)}",
                                 dest_path=out_dir, log=logging.info)
         except Exception as e:  # preview must never kill training

@@ -44,6 +44,9 @@ class TrainState:
     step: jnp.ndarray   # global steps completed (reference "global_steps")
     params: Any
     opt_state: Any
+    # EMA of params (config "ema_decay", TPU-build extension; None = off —
+    # an empty pytree leaf, so parity-mode states are structurally unchanged).
+    ema_params: Any = None
 
 
 def reference_lr_schedule(base_lr: float, lr_steps: int) -> Callable:
@@ -63,7 +66,7 @@ def make_optimizer(base_lr: float, lr_steps: int) -> optax.GradientTransformatio
 
 
 def create_train_state(params, tx: optax.GradientTransformation,
-                       step: int = 0) -> TrainState:
+                       step: int = 0, ema: bool = False) -> TrainState:
     """Fresh state at `step` (the reference's restored global_steps).
 
     The LR schedule's count is seeded with `step` so a resumed run applies
@@ -88,8 +91,9 @@ def create_train_state(params, tx: optax.GradientTransformation,
             return node
 
         opt_state = seed_schedule(opt_state)
+    ema_params = jax.tree.map(jnp.array, params) if ema else None
     return TrainState(step=jnp.asarray(step, jnp.int32), params=params,
-                      opt_state=opt_state)
+                      opt_state=opt_state, ema_params=ema_params)
 
 
 def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformation,
@@ -99,7 +103,9 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                     flip_imgs: bool = False,
                     cond_t: Optional[int] = None,
                     lr_dim: Optional[int] = None,
-                    grad_accum_steps: int = 1) -> Callable:
+                    grad_accum_steps: int = 1,
+                    cfg_drop_prob: float = 0.0,
+                    ema_decay: Optional[float] = None) -> Callable:
     """Build the fused train step.
 
     apply_fn(params, x, t, labels) -> model output.
@@ -113,6 +119,15 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
     mean), with activation memory of a single microbatch. Lets a chip train
     global batches that would not fit, without changing the config's
     batch_size meaning.
+
+    TPU-build extensions beyond the reference (both default-off, parity
+    untouched):
+      cfg_drop_prob > 0 — per-sample label dropout to the zero (null) vector
+        so the model learns the unconditional branch for classifier-free
+        guidance at sampling time (diffusion/guidance.py).
+      ema_decay — maintains an exponential moving average of params in the
+        state's ema_params (updated after each optimizer step); previews,
+        checkpoints, and generators can sample from the averaged weights.
     """
     if objective == Objective.RESIDUAL_X0:
         if cond_t is None or lr_dim is None:
@@ -133,7 +148,13 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
         cond_img = _denorm(batch.get("cond_img"))
         n = images.shape[0]
 
-        t_key, eps_key, flip_key = jax.random.split(rng, 3)
+        if cfg_drop_prob > 0.0:
+            t_key, eps_key, flip_key, drop_key = jax.random.split(rng, 4)
+            from sdm_tpu.diffusion.guidance import dropout_labels
+            labels = dropout_labels(labels, drop_key, cfg_drop_prob)
+        else:
+            # Parity path: exactly the reference's three draws per step.
+            t_key, eps_key, flip_key = jax.random.split(rng, 3)
 
         if flip_imgs:
             # Per-image random horizontal flip, p=0.5 (train_diffusion.py:312-314)
@@ -197,8 +218,14 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if ema_decay is not None and state.ema_params is not None:
+            d = jnp.float32(ema_decay)
+            new_ema = jax.tree.map(
+                lambda e, p: e + (1.0 - d) * (p.astype(e.dtype) - e),
+                state.ema_params, new_params)
         new_state = TrainState(step=state.step + 1, params=new_params,
-                               opt_state=new_opt_state)
+                               opt_state=new_opt_state, ema_params=new_ema)
         return new_state, {"loss": loss}
 
     return train_step
