@@ -26,8 +26,13 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
     parser.add_argument("--port", type=int, default=8000,
                         help="0 = pick a free port (printed at startup).")
     parser.add_argument("--diff_alg", default="ddim",
-                        choices=("ddim", "ddpm"))
-    parser.add_argument("--ddim_step_size", type=int, default=10)
+                        choices=("ddim", "ddpm", "cold"),
+                        help="Sampler for BASE bundles (cold for BASE-COLD "
+                             "bundles; SR bundles auto-detect and always "
+                             "sample cold).")
+    parser.add_argument("--ddim_step_size", "--cold_step_size",
+                        dest="ddim_step_size", type=int, default=10,
+                        help="Skip-step size for ddim/cold sampling.")
     parser.add_argument("-T", "--max_T", type=int, default=1000)
     parser.add_argument("--max-batch", type=int, default=8,
                         help="Compiled batch shape; requests coalesce and "
@@ -53,7 +58,7 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
     from sdm_tpu.serving import DiffusionServer, SamplerEngine
     engine = SamplerEngine(
         args.config, diff_alg=args.diff_alg,
-        ddim_step_size=args.ddim_step_size, max_T=args.max_T,
+        step_size=args.ddim_step_size, max_T=args.max_T,
         max_batch=args.max_batch,
         dtype=args.dtype if args.dtype != "float32" else None,
         use_ema=args.use_ema, guidance=args.guidance, log=log)

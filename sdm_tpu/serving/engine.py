@@ -1,18 +1,28 @@
 """SamplerEngine: compile-once, keep-resident sampling over a bundle.
 
-Serving analogue of the batch generator (sdm_tpu/cli/generate_images_
-diffusion.py, itself parity with reference generate_images_diffusion.py:
-152-254): the same ensemble chaining — model m's trajectory output is model
-m+1's input — but bundle parsing, checkpoint conversion, device upload, and
-XLA compilation all happen once at construction, at one fixed batch shape.
-Requests of any size <= max_batch are zero-padded to that shape (static
-shapes: one compiled executable forever) and sliced after.
+Serving analogue of the three batch generators (sdm_tpu/cli/generate_*.py,
+parity with reference generate_images_diffusion.py:152-254,
+generate_images_cold_diffusion.py:95-140, generate_sr_images_diffusion.py:
+120-166): the same ensemble chaining per bundle kind, but bundle parsing,
+checkpoint conversion, device upload, and XLA compilation all happen once at
+construction, at one fixed batch shape. Requests of any size <= max_batch
+are zero-padded to that shape (static shapes: one compiled executable
+forever) and sliced after.
 
-Determinism contract: with diff_alg="ddim" (eta=0) every image depends only
-on its own initial-noise draw, so a request's outputs are a pure function of
-its seed — identical whether it runs alone or coalesced into a larger batch
-(asserted in tests/test_serving.py). DDPM draws its per-step z from a batch
-key, so outputs are reproducible only for identical batch composition.
+Bundle kinds (auto-detected from the bundle entries):
+  eps   BASE bundles, diff_alg ddim/ddpm — x_t chains model to model.
+  cold  BASE-COLD bundles (diff_alg="cold") — shared initial noise; ensemble
+        chaining re-degrades the previous x0 to the next model's max_noise.
+  sr    SR bundles (entries carry "cond_t") — requests supply a low-res
+        image; the engine area-upsamples it, builds the cond channel by
+        q_sampling at cond_t with the shared noise, runs the cold delta
+        chain, and returns upsample + delta.
+
+Determinism contract: ddim (eta=0), cold, and sr trajectories depend only on
+each image's own noise draw, so request outputs are a pure function of the
+request seed — identical alone or coalesced (asserted in tests). DDPM draws
+per-step z from a batch key: reproducible only for identical batch
+composition.
 """
 
 from __future__ import annotations
@@ -46,7 +56,7 @@ class SamplerEngine:
     """Compiled ensemble sampling chain over one exported bundle."""
 
     def __init__(self, config_path: str, *, diff_alg: str = "ddim",
-                 ddim_step_size: int = 10, max_T: int = 1000,
+                 step_size: int = 10, max_T: int = 1000,
                  max_batch: int = 8, dtype: Optional[str] = None,
                  use_ema: bool = False, guidance: bool = False,
                  log=print):
@@ -54,11 +64,12 @@ class SamplerEngine:
         import jax.numpy as jnp
         from sdm_tpu.io.bundles import (build_model_from_bundle,
                                         load_bundle_config)
-        from sdm_tpu.diffusion.samplers import ddim_sample, ddpm_sample
+        from sdm_tpu.diffusion.samplers import (cold_sample, ddim_sample,
+                                                ddpm_sample)
 
-        if diff_alg not in ("ddim", "ddpm"):
-            raise ValueError(f"diff_alg must be ddim/ddpm, got {diff_alg!r}")
-        self.diff_alg = diff_alg
+        if diff_alg not in ("ddim", "ddpm", "cold"):
+            raise ValueError(
+                f"diff_alg must be ddim/ddpm/cold, got {diff_alg!r}")
         self.max_batch = int(max_batch)
         self.guidance = bool(guidance)
         self.stats = EngineStats()
@@ -66,14 +77,28 @@ class SamplerEngine:
         self._jax = jax
 
         models_details, folder = load_bundle_config(config_path)
-        self._entries = []
         first = models_details["models"][0]
         self.img_shape = (first["img_H"], first["img_W"], first["img_C"])
         self.cond_dim = first["cond_dim"]
+        if "cond_t" in first:
+            self.kind = "sr"           # SR bundles carry cond_t per entry
+            self.diff_alg = "cold"     # SR sampling is always cold
+        elif diff_alg == "cold":
+            self.kind = "cold"
+            self.diff_alg = "cold"
+        else:
+            self.kind = "eps"
+            self.diff_alg = diff_alg
         if guidance and self.cond_dim is None:
             raise ValueError("guidance=True needs a label-conditional bundle")
+        if guidance and self.kind != "eps":
+            raise ValueError(
+                "guidance is supported for eps (BASE ddim/ddpm) bundles "
+                "only — cold/SR models predict x0, where CFG extrapolation "
+                "is not the reference-compatible formulation")
         compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
 
+        self._entries = []
         for model_dict in models_details["models"]:
             factory, schedule, _, params = build_model_from_bundle(
                 model_dict, folder, max_T=max_T, dtype=compute_dtype,
@@ -85,8 +110,6 @@ class SamplerEngine:
                 # Guidance scale is a TRACED scalar: one compiled program
                 # serves every scale (the CFG combine is linear in it), and
                 # scale == 1 is mathematically the plain conditional branch.
-                from sdm_tpu.diffusion.guidance import cfg_model_fn
-
                 def mk_fn(p, gs, _f=factory):
                     base = _f(p)
 
@@ -104,58 +127,71 @@ class SamplerEngine:
                     return _f(p)
 
             mn, mx = model_dict["min_noise"], model_dict["max_noise"]
-            if diff_alg == "ddim":
-                def run(p, x_t, rng, labels, gs, _mk=mk_fn, _s=schedule,
-                        _mn=mn, _mx=mx):
+            if self.diff_alg == "ddim":
+                def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
+                        _s=schedule, _mn=mn, _mx=mx):
                     return ddim_sample(_mk(p, gs), _s, x_t, min_noise=_mn,
                                        max_noise=_mx,
-                                       ddim_step_size=ddim_step_size,
+                                       ddim_step_size=step_size,
                                        labels=labels)
-            else:
-                def run(p, x_t, rng, labels, gs, _mk=mk_fn, _s=schedule,
-                        _mn=mn, _mx=mx):
+            elif self.diff_alg == "ddpm":
+                def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
+                        _s=schedule, _mn=mn, _mx=mx):
                     return ddpm_sample(_mk(p, gs), _s, x_t, rng=rng,
                                        min_noise=_mn, max_noise=_mx,
                                        labels=labels)
+            else:
+                def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
+                        _s=schedule, _mn=mn, _mx=mx):
+                    return cold_sample(_mk(p, gs), _s, x_t, noise,
+                                       min_noise=_mn, max_noise=_mx,
+                                       skip_step_size=step_size,
+                                       cond_img=cond, labels=labels)
 
-            self._entries.append(
-                (model_dict["model_name"], params, jax.jit(run)))
+            self._entries.append(dict(
+                name=model_dict["model_name"], params=params,
+                run=jax.jit(run), schedule=schedule,
+                max_noise=mx, cond_t=model_dict.get("cond_t")))
         self._log = log
 
     # ------------------------------------------------------------- sampling
 
-    def _noise_for(self, seed: int, n: int) -> np.ndarray:
+    def _noise_for(self, seed: int, n: int):
         jax = self._jax
         h, w, c = self.img_shape
-        # Same key discipline as the generator CLI (rng, nk = split(PRNGKey))
-        # so engine output at n == max_batch matches the CLI bit-for-bit.
+        # Same key discipline as the generator CLIs (rng, nk = split(
+        # PRNGKey)) so engine output at n == max_batch matches them.
         rng, nk = jax.random.split(jax.random.PRNGKey(seed))
         return np.asarray(jax.random.normal(
             nk, (n, h, w, c), self._jnp.float32)), rng
 
-    def generate(self, num_images: int, *, seed: int = 0,
+    def generate(self, num_images: int = 1, *, seed: int = 0,
                  labels: Optional[List[float]] = None,
-                 guidance_scale: float = 1.0) -> np.ndarray:
-        """One request -> (num_images, H, W, C) float images in [-1, 1]."""
+                 guidance_scale: float = 1.0,
+                 lr_image: Optional[np.ndarray] = None) -> np.ndarray:
+        """One request -> (num_images, H, W, C) float images in [-1, 1].
+
+        SR bundles require `lr_image` (H_lr, W_lr, C) in [-1, 1]; it is
+        shared by the request's num_images (each gets its own noise)."""
         req = dict(num_images=num_images, seed=seed, labels=labels,
-                   guidance_scale=guidance_scale)
+                   guidance_scale=guidance_scale, lr_image=lr_image)
         return self.generate_batch([req])[0]
 
     def generate_batch(self, requests: List[dict]) -> List[np.ndarray]:
         """Coalesced requests -> one padded fixed-shape trajectory chain.
 
         Each request: {num_images, seed, labels (cond_dim list | None),
-        guidance_scale}. Total images must fit max_batch. Guidance scales
-        may differ per request only when they are all equal (the scale is a
-        scalar per batch); the server enforces compatible coalescing.
+        guidance_scale, lr_image (SR only)}. Total images must fit
+        max_batch; coalesced requests must share guidance_scale (a scalar
+        per batch) — the server enforces compatible coalescing.
         """
         jnp, jax = self._jnp, self._jax
+        if not requests:
+            return []
         total = sum(r["num_images"] for r in requests)
         if total > self.max_batch:
             raise ValueError(
                 f"batch of {total} exceeds max_batch={self.max_batch}")
-        if not requests:
-            return []
         scales = {float(r.get("guidance_scale", 1.0)) for r in requests}
         if len(scales) > 1:
             raise ValueError("coalesced requests must share guidance_scale")
@@ -165,7 +201,8 @@ class SamplerEngine:
                 "engine built without guidance=True cannot apply "
                 f"guidance_scale={gs}")
 
-        noise_parts, label_parts, rng = [], [], None
+        h, w, c = self.img_shape
+        noise_parts, label_parts, lr_parts, rng = [], [], [], None
         for r in requests:
             part, part_rng = self._noise_for(int(r.get("seed", 0)),
                                              r["num_images"])
@@ -179,32 +216,85 @@ class SamplerEngine:
                 label_parts.append(
                     np.tile(np.asarray(lab, np.float32),
                             (r["num_images"], 1)))
-        pad = self.max_batch - total
-        h, w, c = self.img_shape
-        x_t = np.concatenate(noise_parts)
-        if pad:
-            x_t = np.concatenate([x_t, np.zeros((pad, h, w, c), np.float32)])
-        if self.cond_dim is not None:
-            labels = np.concatenate(label_parts) if label_parts else None
-            if pad:
-                labels = np.concatenate(
-                    [labels, np.zeros((pad, self.cond_dim), np.float32)])
-            labels = jnp.asarray(labels)
-        else:
-            labels = None
+            if self.kind == "sr":
+                lr = r.get("lr_image")
+                if lr is None or np.ndim(lr) != 3 or lr.shape[-1] != c:
+                    raise ValueError(
+                        "SR bundle requests need lr_image (H, W, "
+                        f"{c}) in [-1, 1]")
+                if lr.shape[0] > h or lr.shape[1] > w:
+                    raise ValueError(
+                        f"lr_image {lr.shape[:2]} exceeds the model's "
+                        f"output {h}x{w}")
+                lr_parts.append(np.repeat(
+                    np.asarray(lr, np.float32)[None], r["num_images"],
+                    axis=0))
 
-        x_t = jnp.asarray(x_t)
+        def _pad(arr, pad_shape):
+            pad = self.max_batch - total
+            if not pad:
+                return arr
+            return np.concatenate(
+                [arr, np.zeros((pad,) + pad_shape, np.float32)])
+
+        noise = jnp.asarray(_pad(np.concatenate(noise_parts), (h, w, c)))
+        labels = None
+        if self.cond_dim is not None:
+            labels = jnp.asarray(_pad(np.concatenate(label_parts),
+                                      (self.cond_dim,)))
+        upsampled = None
+        if self.kind == "sr":
+            from sdm_tpu.ops.resize import area_resize
+            # Per-request LR sizes may differ; upsample each to the model
+            # resolution (exact torch area semantics) before padding.
+            ups = [np.asarray(area_resize(jnp.asarray(p), h, w), np.float32)
+                   for p in lr_parts]
+            upsampled = jnp.asarray(_pad(np.concatenate(ups), (h, w, c)))
+
         gs_arr = jnp.float32(gs)
+        x_t = 1 * noise
+        x0 = None
+        cond = None
+        if self.kind == "sr":
+            # Conditioning is built ONCE from the first model's schedule and
+            # cond_t and reused across the ensemble chain — exactly the SR
+            # generator's behavior (generate_sr_images_diffusion.py:142-145,
+            # computed only on the first iteration).
+            e0 = self._entries[0]
+            cond = e0["schedule"].q_sample(
+                upsampled, jnp.array([e0["cond_t"]]), noise)
         t0 = time.monotonic()
-        for i, (name, params, run) in enumerate(self._entries):
+        for entry in self._entries:
             rng, sk = jax.random.split(rng)
-            x_t = run(params, x_t, sk, labels, gs_arr)
-        out = np.asarray(x_t)
+            schedule = entry["schedule"]
+            if self.kind == "eps":
+                x_t = entry["run"](entry["params"], x_t, sk, noise, None,
+                                   labels, gs_arr)
+            elif self.kind == "cold":
+                if x0 is not None:
+                    # Re-degrade the previous x0 to this model's max_noise
+                    # with the shared noise (cold generator :118-120).
+                    x_t = schedule.q_sample(
+                        x0, jnp.array([entry["max_noise"]]), noise)
+                x0 = entry["run"](entry["params"], x_t, sk, noise, None,
+                                  labels, gs_arr)
+            else:  # sr
+                if x0 is not None:
+                    x_t = schedule.q_sample(
+                        x0, jnp.array([entry["max_noise"]]), noise)
+                x0 = entry["run"](entry["params"], x_t, sk, noise, cond,
+                                  labels, gs_arr)
+        if self.kind == "eps":
+            out = np.asarray(x_t)
+        elif self.kind == "cold":
+            out = np.asarray(x0)
+        else:
+            out = np.asarray(upsampled + x0)  # delta model (SR gen :166)
         dt = time.monotonic() - t0
         with self.stats.lock:
             self.stats.batches += 1
             self.stats.images += total
-            self.stats.padded_images += pad
+            self.stats.padded_images += self.max_batch - total
             self.stats.device_seconds += dt
 
         results, off = [], 0
@@ -216,11 +306,14 @@ class SamplerEngine:
     def precompile(self) -> float:
         """Run one dummy full-shape batch so the first real request pays no
         compile. Returns the wall seconds spent."""
+        h, w, c = self.img_shape
         t0 = time.monotonic()
         req = dict(num_images=self.max_batch, seed=0,
                    labels=([0.0] * self.cond_dim
                            if self.cond_dim is not None else None),
-                   guidance_scale=1.0)
+                   guidance_scale=1.0,
+                   lr_image=(np.zeros((h // 2, w // 2, c), np.float32)
+                             if self.kind == "sr" else None))
         self.generate_batch([req])
         dt = time.monotonic() - t0
         with self.stats.lock:
@@ -231,5 +324,5 @@ class SamplerEngine:
             self.stats.padded_images = 0
             self.stats.device_seconds = 0.0
         self._log(f"precompile: {dt:.1f}s "
-                  f"(batch {self.max_batch}, {self.diff_alg})")
+                  f"(batch {self.max_batch}, {self.kind}/{self.diff_alg})")
         return dt

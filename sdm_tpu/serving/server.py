@@ -18,7 +18,11 @@ API (JSON):
   POST /generate            {"num_images": 1..max_batch, "seed": int,
                              "labels": [cond_dim floats] (conditional
                              bundles), "guidance_scale": float,
-                             "format": "npy" | "png"}
+                             "format": "npy" | "png",
+                             SR bundles additionally one of:
+                             "lr_image_png_b64": <base64 PNG/JPEG bytes>
+                             "lr_image_b64" + "lr_shape": [H,W,C]
+                                 (base64 raw float32 [-1,1] BGR)}
     -> format "npy": {"shape": [...], "dtype": "float32",
                       "data_b64": <base64 raw array>}  (BGR, [-1,1] — the
                       framework's native space, data/datasets.py)
@@ -92,6 +96,7 @@ class DiffusionServer:
                     self._json(200, {
                         "status": "ok", "img_shape": [h, w, c],
                         "cond_dim": server.engine.cond_dim,
+                        "kind": server.engine.kind,
                         "diff_alg": server.engine.diff_alg,
                         "max_batch": server.engine.max_batch})
                 elif self.path == "/stats":
@@ -175,9 +180,38 @@ class DiffusionServer:
             raise ValueError("server started without --guidance")
         if payload.get("format", "npy") not in ("npy", "png"):
             raise ValueError("format must be npy or png")
+        lr_image = None
+        if self.engine.kind == "sr":
+            lr_image = self._decode_lr(payload)
         return _Request(dict(num_images=n, seed=int(payload.get("seed", 0)),
                              labels=payload.get("labels"),
-                             guidance_scale=gs))
+                             guidance_scale=gs, lr_image=lr_image))
+
+    def _decode_lr(self, payload: dict) -> np.ndarray:
+        """SR input image from the request: encoded PNG/JPEG bytes, or raw
+        float32 [-1,1] with an explicit shape. BGR, the framework's native
+        channel order (data/datasets.py)."""
+        if "lr_image_png_b64" in payload:
+            import cv2
+            buf = base64.b64decode(payload["lr_image_png_b64"])
+            img = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("could not decode lr_image_png_b64")
+            return (img.astype(np.float32) - 127.5) / 127.5
+        if "lr_image_b64" in payload:
+            shape = payload.get("lr_shape")
+            if (not isinstance(shape, list) or len(shape) != 3):
+                raise ValueError("lr_image_b64 needs lr_shape [H, W, C]")
+            raw = base64.b64decode(payload["lr_image_b64"])
+            arr = np.frombuffer(raw, np.float32)
+            if arr.size != int(np.prod(shape)):
+                raise ValueError(
+                    f"lr_image_b64 has {arr.size} floats, lr_shape wants "
+                    f"{int(np.prod(shape))}")
+            return arr.reshape(shape)
+        raise ValueError("SR bundle requests need lr_image_png_b64 or "
+                         "lr_image_b64 + lr_shape")
 
     def _drain_batch(self) -> list:
         """Block for one request, then coalesce compatible queued requests

@@ -13,11 +13,15 @@ import threading
 import urllib.error
 import urllib.request
 
+import os
+
 import numpy as np
 import pytest
+import torch
 
 from sdm_tpu.serving import SamplerEngine
 from tests.test_extensions import _export_bundle_with_ema
+from tests.test_generation import MODEL_CFG, _train_cfg, REF
 
 
 @pytest.fixture(scope="module")
@@ -29,9 +33,39 @@ def bundle(tmp_path_factory):
     return cfg_plain, cfg_cond
 
 
+@pytest.fixture(scope="module")
+def cold_sr_bundles(tmp_path_factory):
+    from sdm_tpu.cli.export_models import export_bundle
+    tmp = tmp_path_factory.mktemp("cold_sr")
+
+    def save_net(name, seed, in_ch):
+        torch.manual_seed(seed)
+        net = REF.U_Net(
+            in_channel=in_ch, out_channel=3, num_layers=2,
+            num_resnet_blocks=1, attn_layers=[1], num_heads=1,
+            dim_per_head=None, time_dim=16, cond_dim=None, min_channel=32,
+            max_channel=64, image_recon=True)
+        path = str(tmp / name)
+        torch.save({"model": net.state_dict()}, path)
+        return path
+
+    # 2-model cold ensemble (chaining exercises the re-degrade step).
+    cold = export_bundle(
+        "cold", str(tmp), img_c=3, img_h=16, img_w=16,
+        model_type="BASE-COLD",
+        entries=[(_train_cfg(6, 10, img_recon=True), save_net("c1.pt", 10, 3)),
+                 (_train_cfg(1, 5, img_recon=True), save_net("c2.pt", 11, 3))])
+    sr = export_bundle(
+        "sr", str(tmp), img_c=3, img_h=16, img_w=16, model_type="SR",
+        entries=[(dict(_train_cfg(1, 10, img_recon=True), in_channel=6,
+                       cond_t=5), save_net("sr.pt", 12, 6))])
+    return (os.path.join(cold, "config.json"),
+            os.path.join(sr, "config.json"))
+
+
 def _engine(cfg, **kw):
     kw.setdefault("diff_alg", "ddim")
-    kw.setdefault("ddim_step_size", 4)
+    kw.setdefault("step_size", 4)
     kw.setdefault("max_T", 10)
     kw.setdefault("max_batch", 4)
     return SamplerEngine(cfg, log=lambda *a, **k: None, **kw)
@@ -81,8 +115,10 @@ def test_engine_validation(bundle):
         cond.generate(1)
     with pytest.raises(ValueError, match="needs a label-conditional"):
         _engine(cfg_plain, guidance=True)
-    with pytest.raises(ValueError, match="ddim/ddpm"):
-        _engine(cfg_plain, diff_alg="cold")
+    with pytest.raises(ValueError, match="ddim/ddpm/cold"):
+        _engine(cfg_plain, diff_alg="euler")
+    with pytest.raises(ValueError, match="supported for eps"):
+        _engine(cfg_cond, diff_alg="cold", guidance=True)
 
 
 def test_engine_guidance_traced_scale(bundle):
@@ -120,6 +156,57 @@ def test_engine_precompile_resets_stats(bundle):
     snap = eng.stats.snapshot()
     assert snap["batches"] == 1 and snap["images"] == 1
     assert snap["padded_images"] == 3
+
+
+def test_engine_cold_matches_generator_cli(cold_sr_bundles):
+    from sdm_tpu.cli.generate_images_cold_diffusion import (
+        generate_images_cold_diffusion)
+    cold_cfg, _ = cold_sr_bundles
+    eng = _engine(cold_cfg, diff_alg="cold")
+    assert eng.kind == "cold"
+    got = eng.generate(4, seed=11)
+    want = generate_images_cold_diffusion(
+        ["-c", cold_cfg, "-n", "4", "-s", "11", "--cold_step_size", "4",
+         "-T", "10"], log=lambda *a, **k: None, save_locally=False)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # Cold trajectories are noise-deterministic: coalescing-invariant too.
+    alone = eng.generate(2, seed=11)
+    coalesced = eng.generate_batch([
+        dict(num_images=2, seed=11, labels=None, guidance_scale=1.0,
+             lr_image=None),
+        dict(num_images=2, seed=5, labels=None, guidance_scale=1.0,
+             lr_image=None)])[0]
+    np.testing.assert_allclose(alone, coalesced, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_sr_matches_generator_cli(cold_sr_bundles):
+    from sdm_tpu.cli.generate_sr_images_diffusion import (
+        generate_sr_images_diffusion)
+    _, sr_cfg = cold_sr_bundles
+    eng = _engine(sr_cfg)  # diff_alg auto-forced to cold for SR bundles
+    assert eng.kind == "sr" and eng.diff_alg == "cold"
+    rng = np.random.default_rng(5)
+    lr_u8 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    lr = (lr_u8.astype(np.float32) - 127.5) / 127.5
+    got = eng.generate(1, seed=9, lr_image=lr)
+    want = generate_sr_images_diffusion(
+        ["-c", sr_cfg, "-s", "9", "--cold_step_size", "4", "-T", "10"],
+        log=lambda *a, **k: None, lr_img=lr_u8, save_locally=False)
+    assert got.shape == want.shape == (1, 16, 16, 3)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_sr_validation(cold_sr_bundles):
+    _, sr_cfg = cold_sr_bundles
+    eng = _engine(sr_cfg)
+    with pytest.raises(ValueError, match="need lr_image"):
+        eng.generate(1, seed=0)
+    with pytest.raises(ValueError, match="exceeds the model's output"):
+        eng.generate(1, seed=0,
+                     lr_image=np.zeros((32, 32, 3), np.float32))
+    # Unconditional SR bundle: the label-conditional check fires first.
+    with pytest.raises(ValueError, match="label-conditional"):
+        _engine(sr_cfg, guidance=True)
 
 
 # ---------------------------------------------------------------- server
@@ -214,6 +301,43 @@ def test_server_rejects_bad_requests(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(url + "/nope")
     assert ei.value.code == 404
+
+
+def test_server_sr_bundle(cold_sr_bundles):
+    import cv2
+    from sdm_tpu.cli.serve_diffusion import serve_diffusion
+    _, sr_cfg = cold_sr_bundles
+    srv = serve_diffusion(
+        ["-c", sr_cfg, "--port", "0", "--cold_step_size", "4", "-T", "10",
+         "--max-batch", "2", "--no-precompile"],
+        log=lambda *a, **k: None, block=False)
+    url = f"http://{srv.host}:{srv.port}"
+    try:
+        assert _get(url + "/healthz")["kind"] == "sr"
+        rng = np.random.default_rng(0)
+        lr_u8 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        ok, png = cv2.imencode(".png", lr_u8)
+        assert ok
+        resp = _post(url + "/generate", {
+            "num_images": 1, "seed": 3,
+            "lr_image_png_b64": base64.b64encode(bytes(png)).decode()})
+        arr = np.frombuffer(base64.b64decode(resp["data_b64"]),
+                            np.float32).reshape(resp["shape"])
+        assert arr.shape == (1, 16, 16, 3) and np.isfinite(arr).all()
+        # Raw-float variant must agree exactly (same decoded pixels).
+        lr = ((lr_u8.astype(np.float32) - 127.5) / 127.5)
+        resp2 = _post(url + "/generate", {
+            "num_images": 1, "seed": 3,
+            "lr_image_b64": base64.b64encode(
+                np.ascontiguousarray(lr).tobytes()).decode(),
+            "lr_shape": [8, 8, 3]})
+        assert resp2["data_b64"] == resp["data_b64"]
+        # Missing lr input -> 400.
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(url + "/generate", {"num_images": 1})
+        assert ei.value.code == 400
+    finally:
+        srv.stop()
 
 
 def test_server_stats_endpoint(server):
