@@ -53,8 +53,9 @@ def flagship_net(dtype=jnp.bfloat16, in_channel=3, use_pallas=False):
         image_recon=False, dtype=dtype, use_pallas=use_pallas)
 
 
-def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
-    from sdm_tpu.diffusion.samplers import ddim_sample
+def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
+                 sampler: str = "ddim"):
+    from sdm_tpu.diffusion.samplers import ddim_sample, dpmpp_sample
     from sdm_tpu.ops.schedules import LinearSchedule
 
     net = flagship_net(use_pallas=use_pallas)
@@ -70,12 +71,25 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
     def model_fn_factory(p):
         return lambda x, t, l: net.apply({"params": p}, x, t, l)
 
-    @jax.jit
-    def sample(p, x_t):
-        # steps list 1000,980,...,20 + [1]: 50 scan updates + final eval
-        # = DDIM-50 (50 denoising steps).
-        return ddim_sample(model_fn_factory(p), schedule, x_t,
-                           min_noise=1, max_noise=1000, ddim_step_size=20)
+    if sampler == "dpmpp":
+        # steps list 1000,900,...,100 + [1]: 10 scan updates + final eval
+        # = 11 model calls, quality-competitive with DDIM-50 (2nd-order
+        # solver; tests/test_dpm_solver.py + test_convergence.py).
+        n_calls = 11
+
+        @jax.jit
+        def sample(p, x_t):
+            return dpmpp_sample(model_fn_factory(p), schedule, x_t,
+                                min_noise=1, max_noise=1000, step_size=100)
+    else:
+        n_calls = 51
+
+        @jax.jit
+        def sample(p, x_t):
+            # steps list 1000,980,...,20 + [1]: 50 scan updates + final eval
+            # = DDIM-50 (50 denoising steps).
+            return ddim_sample(model_fn_factory(p), schedule, x_t,
+                               min_noise=1, max_noise=1000, ddim_step_size=20)
 
     x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
                             jnp.float32)
@@ -87,7 +101,7 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3):
         {"params": p}, x, jnp.array([500], jnp.int32), None)
     ).lower(params, x_t).compile()
     call_flops = compiled_cost_flops(one_call)
-    flops = call_flops * 51 if call_flops else None
+    flops = call_flops * n_calls if call_flops else None
     np.asarray(sample(params, x_t))  # compile + warmup
     # Chain repeats through the output (each rep consumes the previous
     # trajectory's result) and fetch once at the end: block_until_ready()
@@ -469,7 +483,7 @@ def main():
     # physically reachable for this architecture on one v5e chip
     # (BASELINE.md FLOP-ceiling analysis).
     parser.add_argument("--metric",
-                        choices=["ddim50", "train64", "train64_e2e",
+                        choices=["ddim50", "dpmpp10", "train64", "train64_e2e",
                                  "sr256", "kernels_check", "serving128"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
@@ -490,13 +504,16 @@ def main():
         return {"tflops_per_sec": round(tflops, 2),
                 "mfu": round(tflops / args.peak_tflops, 4)}
 
-    if args.metric == "ddim50":
+    if args.metric in ("ddim50", "dpmpp10"):
         batch = args.batch or 32
-        value, flop_rate = bench_ddim50(batch, args.pallas)
+        sampler = "dpmpp" if args.metric == "dpmpp10" else "ddim"
+        value, flop_rate = bench_ddim50(batch, args.pallas, sampler=sampler)
         print(json.dumps({
-            "metric": "ddim50_sampling_128x128_images_per_sec_per_chip",
+            "metric": f"{args.metric}_sampling_128x128_images_per_sec_per_chip",
             "value": round(value, 3),
             "unit": "images/sec/chip",
+            # Same 200 img/s north-star denominator: dpmpp-10 is quality-
+            # competitive with ddim-50 (2nd-order solver; see BASELINE.md).
             "vs_baseline": round(value / 200.0, 4),
             **perf_fields(flop_rate),
         }))

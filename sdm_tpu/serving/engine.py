@@ -167,9 +167,11 @@ class SamplerEngine:
         h, w, c = self.img_shape
         # Same key discipline as the generator CLIs (rng, nk = split(
         # PRNGKey)) so engine output at n == max_batch matches them.
+        # Stays a DEVICE array: fetching it to host only to re-upload costs
+        # two image-batch transfers per request over the axon tunnel
+        # (measured 23% served-vs-raw gap before this was removed).
         rng, nk = jax.random.split(jax.random.PRNGKey(seed))
-        return np.asarray(jax.random.normal(
-            nk, (n, h, w, c), self._jnp.float32)), rng
+        return jax.random.normal(nk, (n, h, w, c), self._jnp.float32), rng
 
     def generate(self, num_images: int = 1, *, seed: int = 0,
                  labels: Optional[List[float]] = None,
@@ -236,26 +238,29 @@ class SamplerEngine:
                     np.asarray(lr, np.float32)[None], r["num_images"],
                     axis=0))
 
-        def _pad(arr, pad_shape):
+        def _pad_cat(parts, pad_shape):
+            # Concatenate + pad on DEVICE (parts may be device arrays; the
+            # values are identical to a host-side concat of the same draws,
+            # so the engine==CLI parity pin is unaffected).
+            arr = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             pad = self.max_batch - total
             if not pad:
                 return arr
-            return np.concatenate(
-                [arr, np.zeros((pad,) + pad_shape, np.float32)])
+            return jnp.concatenate(
+                [arr, jnp.zeros((pad,) + pad_shape, jnp.float32)])
 
-        noise = jnp.asarray(_pad(np.concatenate(noise_parts), (h, w, c)))
+        noise = _pad_cat(noise_parts, (h, w, c))
         labels = None
         if self.cond_dim is not None:
-            labels = jnp.asarray(_pad(np.concatenate(label_parts),
-                                      (self.cond_dim,)))
+            labels = _pad_cat([jnp.asarray(p) for p in label_parts],
+                              (self.cond_dim,))
         upsampled = None
         if self.kind == "sr":
             from sdm_tpu.ops.resize import area_resize
             # Per-request LR sizes may differ; upsample each to the model
             # resolution (exact torch area semantics) before padding.
-            ups = [np.asarray(area_resize(jnp.asarray(p), h, w), np.float32)
-                   for p in lr_parts]
-            upsampled = jnp.asarray(_pad(np.concatenate(ups), (h, w, c)))
+            ups = [area_resize(jnp.asarray(p), h, w) for p in lr_parts]
+            upsampled = _pad_cat(ups, (h, w, c))
 
         gs_arr = jnp.float32(gs)
         x_t = 1 * noise

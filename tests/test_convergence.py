@@ -119,6 +119,21 @@ def test_train_export_generate_reproduces_structure(tmp_path):
     corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
     assert corr > 0.95, corr
 
+    # The fewer-steps lever, end-to-end on this converged model: DPM-
+    # Solver++(2M) with 6 model calls (steps [50, 40, ..., 10, 1]) must
+    # reach the sample quality DDIM needs 11 calls for above. (3 calls
+    # lands at mse ~0.066 — the final lambda jump on a T=50 schedule is
+    # ~1.8, too coarse even for a 2nd-order solver.)
+    imgs_dpm = generate_images_diffusion(raw_args=[
+        "--num_images", "4", "--device", "cpu",
+        "--diff_alg", "dpmpp", "--ddim_step_size", "10",
+        "--seed", "3", "--config", os.path.join(bundle_dir, "config.json"),
+        "--dest_path", str(tmp_path),
+    ], log=lambda *a, **k: None, save_locally=False)
+    mse_dpm = float(np.mean(
+        (np.asarray(imgs_dpm, np.float32) - target_decoded[None]) ** 2))
+    assert mse_dpm < 0.05, mse_dpm
+
 
 def test_cosine_train_export_generate_reproduces_structure(tmp_path):
     """Same base/DDIM pipeline as above but on the COSINE schedule, so the
