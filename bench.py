@@ -54,7 +54,7 @@ def flagship_net(dtype=jnp.bfloat16, in_channel=3, use_pallas=False):
 
 
 def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
-                 sampler: str = "ddim"):
+                 sampler: str = "ddim", step_size: int = 20):
     from sdm_tpu.diffusion.samplers import ddim_sample, dpmpp_sample
     from sdm_tpu.ops.schedules import LinearSchedule
 
@@ -82,14 +82,19 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
             return dpmpp_sample(model_fn_factory(p), schedule, x_t,
                                 min_noise=1, max_noise=1000, step_size=100)
     else:
-        n_calls = 51
+        from sdm_tpu.diffusion.samplers import ddim_step_list
+        # DDIM at `step_size`: step_size=20 is DDIM-50 (51 model calls);
+        # coarse grids (500/250 -> 3/5 calls) are the distilled-student
+        # sampling configurations (sdm_tpu/train/distill.py) — the sampler
+        # program is identical, only the grid changes, so throughput
+        # measured here is exactly what a distilled checkpoint serves at.
+        n_calls = len(ddim_step_list(1, 1000, step_size))
 
         @jax.jit
         def sample(p, x_t):
-            # steps list 1000,980,...,20 + [1]: 50 scan updates + final eval
-            # = DDIM-50 (50 denoising steps).
             return ddim_sample(model_fn_factory(p), schedule, x_t,
-                               min_noise=1, max_noise=1000, ddim_step_size=20)
+                               min_noise=1, max_noise=1000,
+                               ddim_step_size=step_size)
 
     x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
                             jnp.float32)
@@ -483,7 +488,8 @@ def main():
     # physically reachable for this architecture on one v5e chip
     # (BASELINE.md FLOP-ceiling analysis).
     parser.add_argument("--metric",
-                        choices=["ddim50", "dpmpp10", "train64", "train64_e2e",
+                        choices=["ddim50", "dpmpp10", "distill2", "distill4",
+                                 "train64", "train64_e2e",
                                  "sr256", "kernels_check", "serving128"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
@@ -504,10 +510,15 @@ def main():
         return {"tflops_per_sec": round(tflops, 2),
                 "mfu": round(tflops / args.peak_tflops, 4)}
 
-    if args.metric in ("ddim50", "dpmpp10"):
+    if args.metric in ("ddim50", "dpmpp10", "distill2", "distill4"):
         batch = args.batch or 32
         sampler = "dpmpp" if args.metric == "dpmpp10" else "ddim"
-        value, flop_rate = bench_ddim50(batch, args.pallas, sampler=sampler)
+        # distill2/distill4: the 2-/4-interval DDIM grids a progressively
+        # distilled student samples on (train/distill.py) — 3/5 model calls.
+        step_size = {"distill2": 500, "distill4": 250}.get(args.metric, 20)
+        repeats = 10 if args.metric.startswith("distill") else 3
+        value, flop_rate = bench_ddim50(batch, args.pallas, sampler=sampler,
+                                        step_size=step_size, repeats=repeats)
         print(json.dumps({
             "metric": f"{args.metric}_sampling_128x128_images_per_sec_per_chip",
             "value": round(value, 3),

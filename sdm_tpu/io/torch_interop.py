@@ -228,11 +228,14 @@ def optax_adam_to_torch(opt_state, params: Dict[str, Any], lr: float) -> Dict[st
     for idx, path in enumerate(order):
         state[idx] = {
             "step": torch.tensor(float(count)),
+            # np.array (not asarray): a jax export is read-only and
+            # torch.from_numpy would alias it and warn — always copy
+            # (CLAUDE.md converter rule).
             "exp_avg": torch.from_numpy(np.ascontiguousarray(
-                _transpose_like_param(np.asarray(mu_flat[path], np.float32),
+                _transpose_like_param(np.array(mu_flat[path], np.float32),
                                       path, to_torch=True))),
             "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(
-                _transpose_like_param(np.asarray(nu_flat[path], np.float32),
+                _transpose_like_param(np.array(nu_flat[path], np.float32),
                                       path, to_torch=True))),
         }
     return {

@@ -1,0 +1,279 @@
+"""Progressive distillation (sdm_tpu/train/distill.py — TPU-build extension,
+no reference counterpart; the reference's fastest sampler is DDIM
+skip-stepping, diffusion_sampling_algorithms.py:66-148).
+
+Pins: (1) the closed-form x0-space target — one student DDIM step from the
+target lands EXACTLY on the teacher's two-step result; (2) the endpoint rule
+(t == u rows train against the teacher's own x0, matching ddim_sample's final
+x0-extraction call); (3) the distill step optimizes (loss decreases toward
+teacher self-consistency); (4) slow: a full halving run on the convergence-toy
+teacher produces a coarse-grid student that clearly beats the undistilled
+teacher at the same step count and reproduces the data structure."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sdm_tpu.diffusion.samplers import ddim_sample, ddim_step_list
+from sdm_tpu.ops.schedules import make_schedule
+from sdm_tpu.train.distill import (distill_pairs, distill_target,
+                                   make_distill_step)
+from sdm_tpu.train.step import create_train_state, make_optimizer
+
+
+def _ab(schedule, t, ndim=4):
+    abar = schedule.alpha_bar_at(jnp.asarray(t)).astype(jnp.float32)
+    while abar.ndim < ndim:
+        abar = abar[..., None]
+    return abar ** 0.5, (1.0 - abar) ** 0.5
+
+
+def _ddim_update(schedule, teacher, x, t, u):
+    """One explicit eta=0 DDIM step t -> u (per-sample vectors)."""
+    a_t, s_t = _ab(schedule, t)
+    eps = teacher(x, jnp.asarray(t)).astype(jnp.float32)
+    x0 = (x - s_t * eps) / a_t
+    a_u, s_u = _ab(schedule, u)
+    return a_u * x0 + s_u * eps
+
+
+def test_distill_pairs_grid():
+    rows = distill_pairs(ddim_step_list(1, 50, 20))  # [50, 30, 10, 1]
+    assert rows.tolist() == [[50, 40, 30], [30, 20, 10], [10, 5, 1],
+                             [1, 1, 1]]
+
+
+def test_target_reproduces_two_teacher_steps_exactly():
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    key = jax.random.PRNGKey(0)
+    x_t = jax.random.normal(key, (4, 8, 8, 3), jnp.float32)
+
+    def teacher(x, t):  # any smooth deterministic eps function works
+        return 0.3 * x + 0.1 * jnp.tanh(x)
+
+    t = jnp.array([50, 30, 27, 10], jnp.int32)
+    u = jnp.array([30, 10, 13, 1], jnp.int32)
+    m = (t + u) // 2
+
+    x_tilde = distill_target(teacher, schedule, x_t, t, m, u)
+
+    # Teacher's actual two-step trajectory t -> m -> u.
+    x_m = _ddim_update(schedule, teacher, x_t, t, m)
+    z = _ddim_update(schedule, teacher, x_m, m, u)
+
+    # One student DDIM step whose x0 prediction is the target.
+    a_t, s_t = _ab(schedule, t)
+    eps_tilde = (x_t - a_t * x_tilde) / s_t
+    a_u, s_u = _ab(schedule, u)
+    x_u_student = a_u * x_tilde + s_u * eps_tilde
+
+    np.testing.assert_allclose(np.asarray(x_u_student), np.asarray(z),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_endpoint_rows_target_teacher_x0():
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    x_t = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 3), jnp.float32)
+
+    def teacher(x, t):
+        return 0.5 * x
+
+    t = jnp.array([1, 1], jnp.int32)
+    x_tilde = distill_target(teacher, schedule, x_t, t, t, t)
+    a, s = _ab(schedule, t)
+    x0 = (x_t - s * teacher(x_t, t)) / a
+    np.testing.assert_allclose(np.asarray(x_tilde), np.asarray(x0),
+                               rtol=1e-6, atol=1e-6)
+    assert np.all(np.isfinite(np.asarray(x_tilde)))
+
+
+def _tiny_net():
+    from sdm_tpu.models import UNet
+    cfg = dict(in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+               attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+               time_dim=16, min_channel=32, max_channel=32, img_recon=False,
+               cond_dim=None)
+    return UNet.from_config(cfg, dtype=None)
+
+
+def test_distill_step_decreases_loss():
+    net = _tiny_net()
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    x0 = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t0 = jnp.array([1], jnp.int32)
+    teacher_params = net.init(jax.random.PRNGKey(2), x0, t0, None)["params"]
+    apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+
+    tx = make_optimizer(1e-3, 10 ** 9)
+    state = create_train_state(jax.tree.map(jnp.array, teacher_params), tx)
+    step_fn = jax.jit(make_distill_step(
+        apply_fn, schedule, tx, step_list=ddim_step_list(1, 50, 10)))
+
+    images = jax.random.uniform(jax.random.PRNGKey(3), (8, 8, 8, 3),
+                                jnp.float32, -1.0, 1.0)
+    losses = []
+    rng = jax.random.PRNGKey(4)
+    for _ in range(40):
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, teacher_params, {"image": images}, k)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-8:]) < 0.5 * np.mean(losses[:8]), losses
+
+
+@pytest.mark.slow
+def test_distilled_student_beats_teacher_at_coarse_grid(tmp_path):
+    """Train the convergence-toy teacher (T=50, good at DDIM step 5), distill
+    5 -> 10 -> 20 -> 40, then sample both at step size 40 (two intervals +
+    final call = 3 model calls): the student must reproduce the gradient
+    structure where the raw teacher at the same 3 calls visibly cannot."""
+    import cv2
+
+    from sdm_tpu.io.checkpoint import (load_checkpoint,
+                                       load_params_from_checkpoint)
+    from sdm_tpu.models import UNet
+    from sdm_tpu.train.distill import run_distillation
+    from sdm_tpu.train.loop import BASE_SPEC, run_training
+
+    hw = 8
+    ramp = np.linspace(-0.9, 0.9, hw, dtype=np.float32)
+    target = np.broadcast_to(ramp[None, :, None], (hw, hw, 3)).copy()
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    u8 = np.clip((target + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    for i in range(32):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"), u8)
+    target_decoded = (u8.astype(np.float32) - 127.5) / 127.5
+
+    cfg = dict(
+        dataset_path=str(tmp_path / "imgs" / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10_000, lr_steps=600, max_epoch=5000,
+        plot_img_count=4, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=2e-3, batch_size=16,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=32, min_channel=32, max_channel=64, img_recon=False,
+        compute_dtype="float32", seed=7, epoch_checkpoint_every=1000,
+    )
+    summary = run_training(BASE_SPEC, cfg, max_steps=800)
+    assert np.isfinite(summary["last_loss"])
+    teacher_params = summary["state"].params
+
+    import glob as _glob
+    import os
+    ckpts = sorted(
+        _glob.glob(os.path.join(cfg["out_dir"], "checkpoint",
+                                "diffusion_*.pt")),
+        key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    result = run_distillation(cfg, teacher_checkpoint=ckpts[-1],
+                              start_step_size=5, phases=3,
+                              steps_per_phase=400, distill_lr=5e-4)
+    assert result["phase_step_sizes"] == [10, 20, 40]
+
+    # Reload the distilled checkpoint through the reference-format path to
+    # prove it round-trips, then sample both models at step size 40.
+    distilled = _glob.glob(os.path.join(cfg["out_dir"], "checkpoint",
+                                        "distilled_ss40_*.pt"))
+    assert len(distilled) == 1
+    net = UNet.from_config(cfg, dtype=None)
+    ok, ckpt = load_checkpoint(distilled[0], log=lambda *a, **k: None)
+    assert ok
+    student_params = jax.tree.map(jnp.asarray, load_params_from_checkpoint(
+        ckpt, summary["state"].params, log=lambda *a, **k: None))
+
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    noise = jax.random.normal(jax.random.PRNGKey(11), (4, hw, hw, 3),
+                              jnp.float32)
+
+    def sample(params, step_size):
+        mf = lambda x, t, l: net.apply({"params": params}, x, t, l)
+        out = ddim_sample(mf, schedule, noise, min_noise=1, max_noise=50,
+                          ddim_step_size=step_size)
+        return np.asarray(out)
+
+    def mse(x):
+        return float(np.mean((x - target_decoded[None]) ** 2))
+
+    student_coarse = mse(sample(student_params, 40))
+    teacher_coarse = mse(sample(teacher_params, 40))
+    teacher_fine = mse(sample(teacher_params, 5))
+
+    # The teacher is good on its fine grid; at 3 calls it degrades; the
+    # distilled student at 3 calls must land near fine-grid quality.
+    assert teacher_fine < 0.05, teacher_fine
+    assert student_coarse < 0.6 * teacher_coarse, (student_coarse,
+                                                   teacher_coarse)
+    assert student_coarse < 0.1, (student_coarse, teacher_coarse,
+                                  teacher_fine)
+
+
+def test_distill_cli_smoke(tmp_path):
+    """The CLI runs one tiny phase end-to-end and writes the distilled
+    checkpoint in the reference format."""
+    import json
+
+    import cv2
+
+    from sdm_tpu.cli.distill_diffusion import run as distill_run
+    from sdm_tpu.io.checkpoint import (diffusion_checkpoint_dict,
+                                       load_checkpoint, save_model)
+    from sdm_tpu.models import UNet
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"),
+                    np.full((8, 8, 3), 128, np.uint8))
+
+    cfg = dict(
+        dataset_path=str(tmp_path / "imgs" / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10, lr_steps=100, max_epoch=1,
+        plot_img_count=2, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=1e-4, batch_size=4,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=16, min_channel=32, max_channel=32, img_recon=False,
+        compute_dtype="float32", seed=0,
+    )
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    net = UNet.from_config(cfg, dtype=None)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 3), jnp.float32),
+                      jnp.array([1], jnp.int32), None)["params"]
+    (tmp_path / "out").mkdir()
+    save_model(diffusion_checkpoint_dict(jax.tree.map(np.asarray, params)),
+               "teacher", str(tmp_path / "out"), checkpoint=True, steps=0,
+               log=lambda *a, **k: None)
+    teacher_path = tmp_path / "out" / "checkpoint" / "teacher_0.pt"
+    assert teacher_path.exists()
+
+    result = distill_run(raw_args=[
+        "-c", str(cfg_path),
+        "--teacher-checkpoint", str(teacher_path),
+        "--start-step-size", "5", "--phases", "1",
+        "--steps-per-phase", "2", "--device", "cpu"])
+    assert result["phase_step_sizes"] == [10]
+    out = list((tmp_path / "out" / "checkpoint").glob("distilled_ss10_*.pt"))
+    assert len(out) == 1
+    ok, ckpt = load_checkpoint(str(out[0]), log=lambda *a, **k: None)
+    assert ok and "model" in ckpt and "optimizer" in ckpt
