@@ -98,6 +98,42 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     (final step count, last loss) for programmatic use/tests."""
     project_name = spec.project_name
 
+    # Preemption-safe checkpointing (config "preempt_checkpoint", default
+    # true; TPU-build extension — the reference loses everything since the
+    # last cadence on SIGTERM): the first SIGTERM/SIGINT sets a flag; the
+    # loop finishes the in-flight step, checkpoints (NaN guard still ordered
+    # first), and returns cleanly with summary["preempted"]=True so a
+    # preemptible-pod manager can resume from the exact stopping step. A
+    # second signal restores the default handler behavior (force quit).
+    # Installed FIRST so a signal during dataset/model setup or the first
+    # compile is also converted into a clean checkpoint-and-exit. Handlers
+    # only install on the main thread (signal.signal is main-thread-only;
+    # library callers on worker threads keep their own handling).
+    import signal as _signal
+    import threading as _threading
+    preempt = {"flag": False, "prev": {}}
+
+    def _on_preempt_signal(signum, frame):
+        if preempt["flag"]:
+            _signal.signal(signum, preempt["prev"].get(signum,
+                                                       _signal.SIG_DFL))
+            raise KeyboardInterrupt
+        preempt["flag"] = True
+        logging.info("Preemption signal received - checkpointing after the "
+                     "in-flight step, then exiting cleanly.")
+
+    if (bool(config_dict.get("preempt_checkpoint", True))
+            and _threading.current_thread() is _threading.main_thread()):
+        for s in (_signal.SIGTERM, _signal.SIGINT):
+            preempt["prev"][s] = _signal.signal(s, _on_preempt_signal)
+
+    def _restore_signal_handlers():
+        for s, prev in preempt["prev"].items():
+            try:
+                _signal.signal(s, prev)
+            except (ValueError, TypeError):
+                pass
+
     # Multi-host: join the distributed runtime BEFORE any device query
     # (config "multihost": true on TPU pods, or SDM_COORDINATOR_ADDRESS env
     # for explicit launches — see sdm_tpu/parallel/multihost.py).
@@ -639,6 +675,20 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             else:
                 process_metrics(metrics, index, global_steps)
             global_steps += 1
+            if preempt["flag"]:
+                # Flush the deferred loss first so the NaN guard still fires
+                # BEFORE anything is persisted, then checkpoint and exit.
+                if pending is not None:
+                    process_metrics(*pending)
+                    pending = None
+                rng, prev_rng = jax.random.split(rng)
+                submit_checkpoint(state, prev_rng, global_steps,
+                                  with_preview=False)
+                logging.info(
+                    "Preempted: checkpointed at step {:,}; exiting.".format(
+                        global_steps))
+                stop = True
+                break
             if max_steps is not None and global_steps >= max_steps:
                 stop = True
                 break
@@ -654,7 +704,9 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         # parameter fetch otherwise dominates wall time.
         rng, epoch_rng = jax.random.split(rng)
         every = int(config_dict.get("epoch_checkpoint_every", 1))
-        if every <= 1 or (epoch + 1) % every == 0 or stop or epoch + 1 == max_epoch:
+        if ((every <= 1 or (epoch + 1) % every == 0 or stop
+             or epoch + 1 == max_epoch) and not preempt["flag"]):
+            # (preemption already checkpointed this exact step)
             submit_checkpoint(state, epoch_rng, global_steps, with_preview=False)
         if training_count:
             avg = total_diffusion_loss / training_count
@@ -664,9 +716,11 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             break
 
     finish_checkpoints()
+    _restore_signal_handlers()
     profile_ctx.__exit__(None, None, None)
     mh.barrier("train-end")
     return {"global_steps": global_steps, "last_loss": last_loss,
+            "preempted": preempt["flag"],
             "state": state,
             # Sliding-window rate over the last <=50 host-synced losses —
             # excludes the first (compile) step once enough steps ran; feeds

@@ -214,3 +214,51 @@ def test_training_is_deterministic_given_seed(tmp_path):
         result = run_training(BASE_SPEC, cfg, max_steps=3)
         losses.append(result["last_loss"])
     assert losses[0] == losses[1], losses
+
+
+def test_preemption_signal_checkpoints_and_resumes(tmp_path):
+    """Preemption-safe checkpointing (config preempt_checkpoint, default on;
+    TPU-build extension): a SIGTERM mid-training finishes the in-flight step,
+    writes model+config checkpoints at that exact step, returns cleanly with
+    summary["preempted"], restores the previous signal handlers, and the run
+    resumes from the written checkpoint."""
+    import signal
+    import threading
+
+    _mk_images(tmp_path)
+    # No cadence/epoch checkpoints in range and an effectively endless run:
+    # the ONLY way this returns is the preemption path.
+    cfg = _base_config(tmp_path, max_epoch=10_000,
+                       checkpoint_steps=10 ** 6,
+                       epoch_checkpoint_every=10 ** 6)
+    prev_handler = signal.getsignal(signal.SIGTERM)
+
+    timer = threading.Timer(6.0, signal.raise_signal, (signal.SIGTERM,))
+    timer.start()
+    try:
+        result = run_training(BASE_SPEC, cfg)
+    finally:
+        timer.cancel()
+
+    assert result["preempted"] is True
+    steps = result["global_steps"]
+    assert steps > 0
+    # Checkpointed at the exact stopping step, both files.
+    assert os.path.exists(
+        str(tmp_path / "out" / "checkpoint" / f"diffusion_{steps}.pt"))
+    assert os.path.exists(
+        str(tmp_path / "out" / "checkpoint" / f"config_{steps}.pt"))
+    # Handlers restored for the caller.
+    assert signal.getsignal(signal.SIGTERM) == prev_handler
+
+    cfg2 = _base_config(
+        tmp_path,
+        model_checkpoint=str(tmp_path / "out" / "checkpoint"
+                             / f"diffusion_{steps}.pt"),
+        load_diffusion_optim=True,
+        config_checkpoint=str(tmp_path / "out" / "checkpoint"
+                              / f"config_{steps}.pt"),
+        max_epoch=10_000, epoch_checkpoint_every=10 ** 6)
+    result2 = run_training(BASE_SPEC, cfg2, max_steps=steps + 2)
+    assert result2["global_steps"] == steps + 2
+    assert result2["preempted"] is False
