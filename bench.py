@@ -355,12 +355,16 @@ def bench_serving128(batch: int = 32, n_batches: int = 5):
                         max_T=1000, max_batch=batch, dtype="bfloat16",
                         log=lambda *a, **k: None)
     compile_s = eng.precompile()
-    # Each generate() ends in a host fetch of the batch (np.asarray inside
-    # generate_batch), so wall-clock over the loop is trustworthy on this
-    # platform (CLAUDE.md timing rule).
+    # Steady-state = the HTTP worker's behavior: one batch in flight, each
+    # batch's host fetch riding under the next batch's device compute
+    # (engine.generate_pipelined). The loop still ends in a host fetch of
+    # every batch, so wall-clock is trustworthy on this platform (CLAUDE.md
+    # timing rule).
     t0 = time.perf_counter()
-    for i in range(n_batches):
-        eng.generate(batch, seed=i)
+    outs = eng.generate_pipelined(
+        [[dict(num_images=batch, seed=i, labels=None, guidance_scale=1.0,
+               lr_image=None)] for i in range(n_batches)], depth=2)
+    assert len(outs) == n_batches
     dt = time.perf_counter() - t0
     snap = eng.stats.snapshot()
     return batch * n_batches / dt, {

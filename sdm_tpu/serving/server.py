@@ -213,10 +213,15 @@ class DiffusionServer:
         raise ValueError("SR bundle requests need lr_image_png_b64 or "
                          "lr_image_b64 + lr_shape")
 
-    def _drain_batch(self) -> list:
-        """Block for one request, then coalesce compatible queued requests
-        up to max_batch, waiting batch_wait_ms for stragglers."""
-        first = self._queue.get()
+    def _drain_batch(self, block: bool = True) -> list:
+        """Coalesce compatible queued requests up to max_batch, waiting
+        batch_wait_ms for stragglers. block=False returns [] immediately
+        when the queue is idle (the worker uses it while a dispatched batch
+        is still in flight — see _worker_loop)."""
+        try:
+            first = self._queue.get(block=block)
+        except queue.Empty:
+            return []
         if first is None or self._stop.is_set():
             return []
         batch, total = [first], first.payload["num_images"]
@@ -244,18 +249,42 @@ class DiffusionServer:
         return batch
 
     def _worker_loop(self):
-        while not self._stop.is_set():
-            batch = self._drain_batch()
-            if not batch:
-                continue
+        # One dispatched batch stays in flight: the NEXT batch's device work
+        # is enqueued before the previous batch's host fetch (finalize), so
+        # under sustained load the result fetch rides under device compute
+        # (engine.dispatch/finalize; a large fraction of few-step batch time
+        # on tunnel-attached devices). With an idle queue this degenerates
+        # to dispatch -> finalize with zero added latency.
+        inflight = None  # (batch, handle)
+
+        def _finalize(batch, handle):
             try:
-                results = self.engine.generate_batch(
-                    [r.payload for r in batch])
+                results = self.engine.finalize(handle)
                 for r, out in zip(batch, results):
                     r.result = out
-            except Exception as e:  # surface to every waiter
+            except Exception as e:
                 for r in batch:
                     r.error = f"{type(e).__name__}: {e}"
             finally:
                 for r in batch:
                     r.done.set()
+
+        while not self._stop.is_set():
+            batch = self._drain_batch(block=inflight is None)
+            if batch:
+                try:
+                    handle = self.engine.dispatch([r.payload for r in batch])
+                except Exception as e:  # surface to every waiter
+                    for r in batch:
+                        r.error = f"{type(e).__name__}: {e}"
+                        r.done.set()
+                    batch = None
+                    handle = None
+            else:
+                batch = None
+                handle = None
+            if inflight is not None:
+                _finalize(*inflight)
+            inflight = (batch, handle) if batch is not None else None
+        if inflight is not None:
+            _finalize(*inflight)

@@ -346,3 +346,29 @@ def test_server_stats_endpoint(server):
     assert stats["requests_served"] >= 1
     assert stats["batches"] >= 1
     assert "device_seconds" in stats and "compile_seconds" in stats
+
+
+def test_engine_pipelined_matches_sequential(bundle):
+    """dispatch/finalize pipelining (host fetch of batch k overlapping
+    batch k+1's device work) must be a pure scheduling change: outputs are
+    bit-identical to sequential generate_batch, in order."""
+    cfg, _ = bundle
+    eng = _engine(cfg)
+    batches = [[dict(num_images=3, seed=s, labels=None, guidance_scale=1.0)]
+               for s in (1, 2, 3, 4)]
+    want = [eng.generate_batch(b) for b in batches]
+    got = eng.generate_pipelined(batches, depth=2)
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g[0], w[0])
+    # Mixed single-fused and coalesced flexible batches pipeline too.
+    mixed = [
+        [dict(num_images=4, seed=9, labels=None, guidance_scale=1.0)],
+        [dict(num_images=2, seed=7, labels=None, guidance_scale=1.0),
+         dict(num_images=1, seed=9, labels=None, guidance_scale=1.0)],
+    ]
+    want2 = [eng.generate_batch(b) for b in mixed]
+    got2 = eng.generate_pipelined(mixed, depth=2)
+    for g, w in zip(got2, want2):
+        for gi, wi in zip(g, w):
+            np.testing.assert_array_equal(gi, wi)
