@@ -43,6 +43,9 @@ def parse_args(raw_args=None) -> dict:
                         help="Optimizer steps per phase (default 2000).")
     parser.add_argument("--distill-lr", type=float, default=None,
                         help="Learning rate (default: config diffusion_lr).")
+    parser.add_argument("--use-ema-teacher", action="store_true",
+                        help="Distill from the checkpoint's EMA weights "
+                             "(requires training with config ema_decay).")
     parser.add_argument("--dataset-kind",
                         choices=["auto", "glob", "conditional", "doodle"],
                         default="auto",
@@ -80,6 +83,7 @@ def run(raw_args=None):
         distill_lr=args["distill_lr"],
         num_devices=args["num_devices"],
         dataset_kind=args["dataset_kind"],
+        use_ema_teacher=args["use_ema_teacher"],
         log=logging.info)
 
 

@@ -51,6 +51,10 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
                         help="Enable classifier-free guidance: requests may "
                              "pass guidance_scale (traced scalar — one "
                              "compiled program serves every scale).")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="Shard the compiled batch over this many "
+                             "devices (data-parallel serving; must divide "
+                             "--max-batch). Default: 1.")
     parser.add_argument("--no-precompile", action="store_true",
                         help="Skip the warm-up batch (first request pays "
                              "the compile).")
@@ -62,7 +66,8 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
         step_size=args.ddim_step_size, max_T=args.max_T,
         max_batch=args.max_batch,
         dtype=args.dtype if args.dtype != "float32" else None,
-        use_ema=args.use_ema, guidance=args.guidance, log=log)
+        use_ema=args.use_ema, guidance=args.guidance,
+        num_devices=args.num_devices, log=log)
     server = DiffusionServer(engine, host=args.host, port=args.port,
                              batch_wait_ms=args.batch_wait_ms, log=log)
     server.start(precompile=not args.no_precompile)

@@ -59,6 +59,7 @@ class SamplerEngine:
                  step_size: int = 10, max_T: int = 1000,
                  max_batch: int = 8, dtype: Optional[str] = None,
                  use_ema: bool = False, guidance: bool = False,
+                 num_devices: Optional[int] = None,
                  log=print):
         import jax
         import jax.numpy as jnp
@@ -98,13 +99,28 @@ class SamplerEngine:
                 "is not the reference-compatible formulation")
         compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
 
+        # Data-parallel serving (num_devices > 1): the padded batch dim is
+        # sharded over a 1-D "data" mesh (per-image-independent sampling
+        # needs no collectives), params replicated — the engine analogue of
+        # the generators' --num-devices. Default stays single-device.
+        self._dp = None
+        if num_devices is not None and num_devices > 1:
+            from sdm_tpu.parallel.mesh import (auto_data_mesh,
+                                               batch_sharding,
+                                               replicated_sharding)
+            mesh = auto_data_mesh(self.max_batch, num_devices)
+            self._dp = batch_sharding(mesh)
+            self._replicated = replicated_sharding(mesh)
+
         self._entries = []
         for model_dict in models_details["models"]:
             factory, schedule, _, params = build_model_from_bundle(
                 model_dict, folder, max_T=max_T, dtype=compute_dtype,
                 cast_params=compute_dtype is not None,
                 param_key="ema" if use_ema else "model")
-            params = jax.device_put(params)
+            params = jax.device_put(
+                params, self._replicated) if self._dp is not None \
+                else jax.device_put(params)
 
             if guidance:
                 # Guidance scale is a TRACED scalar: one compiled program
@@ -170,10 +186,17 @@ class SamplerEngine:
             h_, w_, c_ = self.img_shape
             kind = self.kind
 
+            dp = self._dp
+
             def first_fused(p, seed, labels, gs, upsampled, _run=run,
                             _s=schedule, _ct=model_dict.get("cond_t")):
                 rng, nk = jax.random.split(jax.random.PRNGKey(seed))
                 noise = jax.random.normal(nk, (mb, h_, w_, c_), jnp.float32)
+                if dp is not None:
+                    # Pin the batch-dim sharding; GSPMD propagates it through
+                    # the whole trajectory (draws are sharding-invariant
+                    # under partitionable threefry).
+                    noise = jax.lax.with_sharding_constraint(noise, dp)
                 cond = None
                 if kind == "sr":
                     cond = _s.q_sample(upsampled, jnp.array([_ct]), noise)
@@ -319,10 +342,12 @@ class SamplerEngine:
             # so the engine==CLI parity pin is unaffected).
             arr = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
             pad = self.max_batch - total
-            if not pad:
-                return arr
-            return jnp.concatenate(
-                [arr, jnp.zeros((pad,) + pad_shape, jnp.float32)])
+            if pad:
+                arr = jnp.concatenate(
+                    [arr, jnp.zeros((pad,) + pad_shape, jnp.float32)])
+            if self._dp is not None:
+                arr = jax.device_put(arr, self._dp)
+            return arr
 
         noise = _pad_cat(noise_parts, (h, w, c))
         labels = None
@@ -456,6 +481,8 @@ class SamplerEngine:
             if pad:
                 ups = jnp.concatenate(
                     [ups, jnp.zeros((pad, h, w, c), jnp.float32)])
+            if self._dp is not None:
+                ups = jax.device_put(ups, self._dp)
             upsampled = ups
 
         gs_arr = jnp.float32(gs)

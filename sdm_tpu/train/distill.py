@@ -181,6 +181,7 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
                      distill_lr: Optional[float] = None,
                      num_devices: Optional[int] = None,
                      dataset_kind: str = "auto",
+                     use_ema_teacher: bool = False,
                      log=logging.info) -> dict:
     """Drive P halving phases from a trained eps-model checkpoint.
 
@@ -271,8 +272,14 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
     ok, ckpt = load_checkpoint(teacher_checkpoint, log=log)
     if not ok:
         raise Exception("An error occured while loading model checkpoint!")
+    if use_ema_teacher and "ema" not in ckpt:
+        raise ValueError(
+            "use_ema_teacher: checkpoint carries no 'ema' key (train with "
+            "config ema_decay to produce one)")
     teacher_params = jax.tree.map(
-        jnp.asarray, load_params_from_checkpoint(ckpt, params, log=log))
+        jnp.asarray, load_params_from_checkpoint(
+            ckpt, params, log=log,
+            key="ema" if use_ema_teacher else "model"))
 
     lr = float(distill_lr if distill_lr is not None
                else config_dict["diffusion_lr"])

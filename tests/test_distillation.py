@@ -277,3 +277,68 @@ def test_distill_cli_smoke(tmp_path):
     assert len(out) == 1
     ok, ckpt = load_checkpoint(str(out[0]), log=lambda *a, **k: None)
     assert ok and "model" in ckpt and "optimizer" in ckpt
+
+
+def test_distill_uses_ema_teacher_when_asked(tmp_path):
+    """use_ema_teacher selects the checkpoint's 'ema' weights as the
+    teacher (and errors clearly when the key is absent)."""
+    import json
+
+    import cv2
+    import pytest as _pytest
+
+    from sdm_tpu.io.checkpoint import diffusion_checkpoint_dict, save_model
+    from sdm_tpu.models import UNet
+    from sdm_tpu.train.distill import run_distillation
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        cv2.imwrite(str(img_dir / f"im_{i}.png"),
+                    np.full((8, 8, 3), 128, np.uint8))
+    cfg = dict(
+        dataset_path=str(tmp_path / "imgs" / "*.png"),
+        use_conditional=False, cond_dim=None,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_steps=10, lr_steps=100, max_epoch=1,
+        plot_img_count=2, flip_imgs=False, model_checkpoint=None,
+        load_diffusion_optim=False, config_checkpoint=None,
+        diffusion_lr=1e-4, batch_size=4,
+        noise_scheduler="LINEAR", beta1=0.02, betaT=0.2,
+        diffusion_alg="DDIM", skip_step=5, min_noise_step=1,
+        max_noise_step=50, max_actual_noise_step=50,
+        in_channel=3, out_channel=3, num_layers=2, num_resnet_block=1,
+        attn_layers=[], attn_heads=1, attn_dim_per_head=None,
+        time_dim=16, min_channel=32, max_channel=32, img_recon=False,
+        compute_dtype="float32", seed=0,
+    )
+    net = UNet.from_config(cfg, dtype=None)
+    params = net.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 8, 8, 3), jnp.float32),
+                      jnp.array([1], jnp.int32), None)["params"]
+    # Distinguishable EMA weights: zeros (vs the random 'model' weights).
+    ema = jax.tree.map(lambda a: np.zeros_like(np.asarray(a)), params)
+    (tmp_path / "out").mkdir()
+    save_model(diffusion_checkpoint_dict(
+        jax.tree.map(np.asarray, params), ema_params=ema),
+        "teacher", str(tmp_path / "out"), checkpoint=True, steps=0,
+        log=lambda *a, **k: None)
+    teacher_path = str(tmp_path / "out" / "checkpoint" / "teacher_0.pt")
+
+    result = run_distillation(cfg, teacher_checkpoint=teacher_path,
+                              start_step_size=5, phases=1, steps_per_phase=0,
+                              use_ema_teacher=True,
+                              log=lambda *a, **k: None)
+    # 0 optimizer steps: the student IS the selected teacher -> all zeros.
+    leaves = jax.tree.leaves(result["params"])
+    assert all(float(np.abs(np.asarray(l)).max()) == 0.0 for l in leaves)
+
+    # Without EMA in the checkpoint, asking for it errors clearly.
+    save_model(diffusion_checkpoint_dict(jax.tree.map(np.asarray, params)),
+               "plain", str(tmp_path / "out"), checkpoint=True, steps=0,
+               log=lambda *a, **k: None)
+    with _pytest.raises(ValueError, match="ema"):
+        run_distillation(cfg, teacher_checkpoint=str(
+            tmp_path / "out" / "checkpoint" / "plain_0.pt"),
+            start_step_size=5, phases=1, steps_per_phase=0,
+            use_ema_teacher=True, log=lambda *a, **k: None)

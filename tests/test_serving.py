@@ -372,3 +372,29 @@ def test_engine_pipelined_matches_sequential(bundle):
     for g, w in zip(got2, want2):
         for gi, wi in zip(g, w):
             np.testing.assert_array_equal(gi, wi)
+
+
+def test_engine_data_parallel_matches_single_device(bundle):
+    """num_devices > 1 shards the padded batch over the data mesh (engine
+    analogue of the generators' --num-devices): outputs must match the
+    single-device engine, and the dispatched result must actually live on
+    all requested devices. Runs on the conftest's 8 virtual CPU devices."""
+    cfg, _ = bundle
+    single = _engine(cfg)
+    sharded = _engine(cfg, num_devices=4)
+
+    want = single.generate(4, seed=7)
+    got = sharded.generate(4, seed=7)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    handle = sharded.dispatch(
+        [dict(num_images=4, seed=7, labels=None, guidance_scale=1.0)])
+    assert len(handle["out"].sharding.device_set) == 4
+    sharded.finalize(handle)
+
+    # Coalesced (flexible-path) batches shard too.
+    a, b = sharded.generate_batch([
+        dict(num_images=2, seed=7, labels=None, guidance_scale=1.0),
+        dict(num_images=1, seed=9, labels=None, guidance_scale=1.0)])
+    np.testing.assert_allclose(a, want[:2], rtol=1e-6, atol=1e-6)
+    assert b.shape == (1, 16, 16, 3)
