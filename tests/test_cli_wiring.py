@@ -57,8 +57,9 @@ def test_console_scripts_resolve():
     tomllib = pytest.importorskip("tomllib")  # stdlib from 3.11
     with open("pyproject.toml", "rb") as f:
         scripts = tomllib.load(f)["project"]["scripts"]
-    # 11 reference-parity entry points + evaluate-samples + serve-diffusion.
-    assert len(scripts) == 13
+    # 11 reference-parity entry points + evaluate-samples + serve-diffusion
+    # + distill-diffusion.
+    assert len(scripts) == 14
     for target in scripts.values():
         mod_name, func_name = target.split(":")
         mod = __import__(mod_name, fromlist=[func_name])
