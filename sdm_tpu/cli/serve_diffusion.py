@@ -51,6 +51,10 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
                         help="Enable classifier-free guidance: requests may "
                              "pass guidance_scale (traced scalar — one "
                              "compiled program serves every scale).")
+    parser.add_argument("--uint8-output", action="store_true",
+                        help="Quantize images to uint8 ON DEVICE (the png "
+                             "writer's math) — 4x smaller result fetches; "
+                             "npy responses carry dtype uint8.")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="Shard the compiled batch over this many "
                              "devices (data-parallel serving; must divide "
@@ -67,7 +71,8 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
         max_batch=args.max_batch,
         dtype=args.dtype if args.dtype != "float32" else None,
         use_ema=args.use_ema, guidance=args.guidance,
-        num_devices=args.num_devices, log=log)
+        num_devices=args.num_devices,
+        output_dtype="uint8" if args.uint8_output else "float32", log=log)
     server = DiffusionServer(engine, host=args.host, port=args.port,
                              batch_wait_ms=args.batch_wait_ms, log=log)
     server.start(precompile=not args.no_precompile)

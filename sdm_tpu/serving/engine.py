@@ -60,6 +60,7 @@ class SamplerEngine:
                  max_batch: int = 8, dtype: Optional[str] = None,
                  use_ema: bool = False, guidance: bool = False,
                  num_devices: Optional[int] = None,
+                 output_dtype: str = "float32",
                  log=print):
         import jax
         import jax.numpy as jnp
@@ -71,6 +72,15 @@ class SamplerEngine:
         if diff_alg not in ("ddim", "ddpm", "cold", "dpmpp"):
             raise ValueError(
                 f"diff_alg must be ddim/ddpm/cold/dpmpp, got {diff_alg!r}")
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"output_dtype must be float32/uint8, got {output_dtype!r}")
+        # uint8 output: quantize ON DEVICE with the framework's standard
+        # image quantization (clip((x+1)*127.5, 0, 255), the png writer's
+        # math) so the per-batch host fetch shrinks 4x — on tunnel-attached
+        # devices the fetch bounds few-step serving throughput at large
+        # batch (BASELINE.md serving section).
+        self._out_u8 = output_dtype == "uint8"
         self.max_batch = int(max_batch)
         self.guidance = bool(guidance)
         self.stats = EngineStats()
@@ -404,11 +414,20 @@ class SamplerEngine:
         return self._make_handle(out_dev, requests, total, t0)
 
     def _make_handle(self, out_dev, requests, total, t0):
+        if self._out_u8:
+            out_dev = self._quantize(out_dev)
         try:
             out_dev.copy_to_host_async()
         except Exception:
             pass  # finalize's np.asarray fetches synchronously instead
         return dict(out=out_dev, requests=requests, total=total, t0=t0)
+
+    def _quantize(self, x):
+        jnp = self._jnp
+        if not hasattr(self, "_quantize_jit"):
+            self._quantize_jit = self._jax.jit(lambda a: jnp.clip(
+                (a + 1.0) * 127.5, 0, 255).astype(jnp.uint8))
+        return self._quantize_jit(x)
 
     def finalize(self, handle) -> List[np.ndarray]:
         """Fetch a dispatched batch's result and slice it per request.

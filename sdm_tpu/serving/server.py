@@ -56,8 +56,12 @@ class _Request:
 
 def _png_bytes(img: np.ndarray) -> bytes:
     import cv2
-    u8 = np.clip((img.astype(np.float32) + 1.0) * 127.5, 0, 255)
-    ok, buf = cv2.imencode(".png", u8.astype(np.uint8))
+    if img.dtype == np.uint8:  # engine output_dtype="uint8": pre-quantized
+        u8 = img
+    else:
+        u8 = np.clip((img.astype(np.float32) + 1.0) * 127.5,
+                     0, 255).astype(np.uint8)
+    ok, buf = cv2.imencode(".png", u8)
     if not ok:
         raise RuntimeError("cv2.imencode failed")
     return bytes(buf)

@@ -398,3 +398,24 @@ def test_engine_data_parallel_matches_single_device(bundle):
         dict(num_images=1, seed=9, labels=None, guidance_scale=1.0)])
     np.testing.assert_allclose(a, want[:2], rtol=1e-6, atol=1e-6)
     assert b.shape == (1, 16, 16, 3)
+
+
+def test_engine_uint8_output_matches_host_quantization(bundle):
+    """output_dtype='uint8' quantizes on device with exactly the png
+    writer's math: equal to host-side quantization of the float engine's
+    output, on both the fused and coalesced paths."""
+    cfg, _ = bundle
+    f32 = _engine(cfg)
+    u8 = _engine(cfg, output_dtype="uint8")
+
+    want = np.clip((f32.generate(4, seed=7) + 1.0) * 127.5,
+                   0, 255).astype(np.uint8)
+    got = u8.generate(4, seed=7)
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+
+    a, b = u8.generate_batch([
+        dict(num_images=2, seed=7, labels=None, guidance_scale=1.0),
+        dict(num_images=1, seed=9, labels=None, guidance_scale=1.0)])
+    assert a.dtype == b.dtype == np.uint8
+    np.testing.assert_array_equal(a, want[:2])
