@@ -79,6 +79,17 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                         help="Max T value for noise scheduling (In cases of Ensemble methods).")
     parser.add_argument("--cond_img_path", type=pathlib.Path, default=None,
                         help="File path to conditional image e.g Doodle image.")
+    parser.add_argument("--init_img_path", type=pathlib.Path, default=None,
+                        help="img2img (SDEdit-style, TPU-build extension): "
+                             "start the reverse chain from this image "
+                             "q_sampled to --init_noise_step instead of "
+                             "pure noise. Must match the model resolution.")
+    parser.add_argument("--init_noise_step", type=int, default=None,
+                        help="Noise level for --init_img_path (the first "
+                             "model samples from this step down; higher = "
+                             "freer reinterpretation, lower = more faithful "
+                             "to the init image). Required with "
+                             "--init_img_path.")
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
                         help="Conditional Labels.")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -153,6 +164,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     models_details, folder = load_bundle_config(args["config"])
 
     if args["pipeline"]:
+        if args["init_img_path"] is not None:
+            raise ValueError("--pipeline does not support --init_img_path")
         if args["num_devices"] and args["num_devices"] > 1:
             raise ValueError("--pipeline and --num-devices data parallelism "
                              "are mutually exclusive")
@@ -167,6 +180,21 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     dp_sharding = batch_sharding(mesh)
     def dp(x):
         return jax.device_put(x, dp_sharding) if x is not None else None
+
+    # img2img (SDEdit-style): validate + load the init image up front.
+    init_img = None
+    if (args["init_img_path"] is None) != (args["init_noise_step"] is None):
+        raise ValueError(
+            "--init_img_path and --init_noise_step go together")
+    if args["init_img_path"] is not None:
+        import cv2
+        if not os.path.isfile(args["init_img_path"]):
+            raise FileNotFoundError(
+                "Invalid path for init image, kindly correct and try again!")
+        if _detect_img_format(args["init_img_path"]) not in SUPPORTED_IMG_FORMATS:
+            raise ValueError("Image format is not supported!")
+        init_img = (cv2.imread(str(args["init_img_path"]))
+                    .astype(np.float32) - 127.5) / 127.5  # HWC BGR
 
     noise = None
     x_t = None
@@ -198,6 +226,26 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             cast_params=compute_dtype is not None,
             param_key="ema" if args["use_ema"] else "model")
 
+        # img2img: replace the pure-noise start with the init image
+        # q_sampled to init_noise_step (the reference's own ensemble-preview
+        # semantics, train_diffusion.py:403-409, exposed at generation
+        # time); the first model then samples from that step down.
+        max_noise_eff = model_dict["max_noise"]
+        if model_index == 0 and init_img is not None:
+            t0 = int(args["init_noise_step"])
+            if not (model_dict["min_noise"] < t0 <= model_dict["max_noise"]):
+                raise ValueError(
+                    f"--init_noise_step {t0} must lie in "
+                    f"({model_dict['min_noise']}, {model_dict['max_noise']}]")
+            if init_img.shape[:2] != (img_h, img_w):
+                raise ValueError(
+                    f"init image {init_img.shape[:2]} must match the model "
+                    f"resolution ({img_h}, {img_w})")
+            init_b = jnp.asarray(
+                np.repeat(init_img[None], args["num_images"], axis=0))
+            x_t = schedule.q_sample(dp(init_b), jnp.array([t0]), noise)
+            max_noise_eff = t0
+
         gs = args["guidance_scale"]
         if gs != 1.0 and labels is None:
             raise ValueError("--guidance-scale needs a label-conditional "
@@ -215,13 +263,13 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             x_t = jax.jit(lambda p, xt, k, l, c: ddpm_sample(
                 model_fn_factory(p), schedule, xt, rng=k,
                 min_noise=model_dict["min_noise"],
-                max_noise=model_dict["max_noise"],
+                max_noise=max_noise_eff,
                 cond_img=c, labels=l))(params, x_t, sk, labels, dp(cond_img))
         elif args["diff_alg"].lower() == DiffusionAlg.DDIM.name.lower():
             x_t = jax.jit(lambda p, xt, l, c: ddim_sample(
                 model_fn_factory(p), schedule, xt,
                 min_noise=model_dict["min_noise"],
-                max_noise=model_dict["max_noise"],
+                max_noise=max_noise_eff,
                 ddim_step_size=args["ddim_step_size"],
                 cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
         elif args["diff_alg"].lower() == "dpmpp":
@@ -229,7 +277,7 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             x_t = jax.jit(lambda p, xt, l, c: dpmpp_sample(
                 model_fn_factory(p), schedule, xt,
                 min_noise=model_dict["min_noise"],
-                max_noise=model_dict["max_noise"],
+                max_noise=max_noise_eff,
                 step_size=args["ddim_step_size"],
                 cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
         else:

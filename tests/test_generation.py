@@ -278,3 +278,64 @@ def test_ddim_generator_bf16_dtype_close_to_fp32(tmp_path, monkeypatch):
          "--ddim_step_size", "4", "--dtype", "bfloat16"], save_locally=False)
     assert np.isfinite(bf16).all()
     np.testing.assert_allclose(bf16, fp32, rtol=0.15, atol=0.15)
+
+
+def test_img2img_init_image_generation(tmp_path):
+    """img2img (SDEdit-style, TPU-build extension): --init_img_path +
+    --init_noise_step replaces the pure-noise start with q_sample(init, t0)
+    using the generator's own noise draw, and the first model samples from
+    t0 down — pinned against a hand-built trajectory with the same seed."""
+    import cv2
+
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+    from sdm_tpu.diffusion.samplers import ddim_sample
+    from sdm_tpu.io.bundles import build_model_from_bundle, load_bundle_config
+    from sdm_tpu.ops.schedules import make_schedule
+
+    _, p = _save_ref_ckpt(tmp_path, "m1.pt", seed=3)
+    bundle = export_bundle("i2i", str(tmp_path), img_c=3, img_h=16, img_w=16,
+                           model_type="BASE",
+                           entries=[(_train_cfg(1, 20), p)])
+    cfg_path = os.path.join(bundle, "config.json")
+
+    rng_img = np.random.default_rng(5)
+    init_u8 = rng_img.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    init_path = str(tmp_path / "init.png")
+    cv2.imwrite(init_path, init_u8)
+    t0 = 12
+
+    got = generate_images_diffusion(raw_args=[
+        "-c", cfg_path, "-n", "2", "-s", "11", "--diff_alg", "ddim",
+        "--ddim_step_size", "4", "-T", "20",
+        "--init_img_path", init_path, "--init_noise_step", str(t0),
+    ], log=lambda *a, **k: None, save_locally=False)
+
+    # Hand-built expectation: same PRNGKey/seed discipline as the CLI.
+    models_details, folder = load_bundle_config(cfg_path)
+    md = models_details["models"][0]
+    factory, schedule, _, params = build_model_from_bundle(md, folder,
+                                                           max_T=20)
+    rng = jax.random.PRNGKey(11)
+    rng, nk = jax.random.split(rng)
+    noise = jax.random.normal(nk, (2, 16, 16, 3), jnp.float32)
+    decoded = (cv2.imread(init_path).astype(np.float32) - 127.5) / 127.5
+    init_b = jnp.asarray(np.repeat(decoded[None], 2, axis=0))
+    x_t = schedule.q_sample(init_b, jnp.array([t0]), noise)
+    want = ddim_sample(factory(params), schedule, x_t, min_noise=1,
+                       max_noise=t0, ddim_step_size=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # Validation: out-of-range t0 and missing partner flag error clearly.
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="init_noise_step"):
+        generate_images_diffusion(raw_args=[
+            "-c", cfg_path, "-n", "1", "-s", "1", "--diff_alg", "ddim",
+            "--ddim_step_size", "4", "-T", "20",
+            "--init_img_path", init_path, "--init_noise_step", "999",
+        ], log=lambda *a, **k: None, save_locally=False)
+    with _pytest.raises(ValueError, match="go together"):
+        generate_images_diffusion(raw_args=[
+            "-c", cfg_path, "-n", "1", "--init_img_path", init_path,
+        ], log=lambda *a, **k: None, save_locally=False)
