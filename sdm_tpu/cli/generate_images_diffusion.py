@@ -90,6 +90,16 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                              "freer reinterpretation, lower = more faithful "
                              "to the init image). Required with "
                              "--init_img_path.")
+    parser.add_argument("--inpaint_img_path", type=pathlib.Path, default=None,
+                        help="Inpainting (TPU-build extension, ddim only): "
+                             "keep this image's pixels where the mask is "
+                             "white and synthesize the rest, conditioned on "
+                             "the kept context at every step.")
+    parser.add_argument("--inpaint_mask_path", type=pathlib.Path,
+                        default=None,
+                        help="Mask for --inpaint_img_path: pixels >= 128 "
+                             "are KEPT from the image, < 128 are generated. "
+                             "Required with --inpaint_img_path.")
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
                         help="Conditional Labels.")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
@@ -166,6 +176,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     if args["pipeline"]:
         if args["init_img_path"] is not None:
             raise ValueError("--pipeline does not support --init_img_path")
+        if args["inpaint_img_path"] is not None:
+            raise ValueError("--pipeline does not support inpainting")
         if args["num_devices"] and args["num_devices"] > 1:
             raise ValueError("--pipeline and --num-devices data parallelism "
                              "are mutually exclusive")
@@ -195,6 +207,34 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             raise ValueError("Image format is not supported!")
         init_img = (cv2.imread(str(args["init_img_path"]))
                     .astype(np.float32) - 127.5) / 127.5  # HWC BGR
+
+    # Inpainting: known image + keep-mask, ddim-only (the projection rides
+    # the deterministic trajectory).
+    inpaint_img = inpaint_mask = None
+    if (args["inpaint_img_path"] is None) != (args["inpaint_mask_path"] is None):
+        raise ValueError(
+            "--inpaint_img_path and --inpaint_mask_path go together")
+    if args["inpaint_img_path"] is not None:
+        import cv2
+        if args["diff_alg"].lower() != "ddim":
+            raise ValueError("inpainting is supported with --diff_alg ddim")
+        if args["init_img_path"] is not None:
+            raise ValueError("--inpaint_img_path and --init_img_path are "
+                             "mutually exclusive")
+        for p in (args["inpaint_img_path"], args["inpaint_mask_path"]):
+            if not os.path.isfile(p):
+                raise FileNotFoundError(
+                    f"Invalid path {p}, kindly correct and try again!")
+            if _detect_img_format(p) not in SUPPORTED_IMG_FORMATS:
+                raise ValueError("Image format is not supported!")
+        inpaint_img = (cv2.imread(str(args["inpaint_img_path"]))
+                       .astype(np.float32) - 127.5) / 127.5  # HWC BGR
+        m = cv2.imread(str(args["inpaint_mask_path"]), cv2.IMREAD_GRAYSCALE)
+        inpaint_mask = (m >= 128).astype(np.float32)[..., None]  # (H,W,1)
+        if inpaint_mask.shape[:2] != inpaint_img.shape[:2]:
+            raise ValueError(
+                f"mask {inpaint_mask.shape[:2]} must match the inpaint "
+                f"image {inpaint_img.shape[:2]}")
 
     noise = None
     x_t = None
@@ -246,6 +286,23 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             x_t = schedule.q_sample(dp(init_b), jnp.array([t0]), noise)
             max_noise_eff = t0
 
+        ink = {}
+        if inpaint_img is not None:
+            if model_index == 0:
+                if inpaint_img.shape[:2] != (img_h, img_w):
+                    raise ValueError(
+                        f"inpaint image {inpaint_img.shape[:2]} must match "
+                        f"the model resolution ({img_h}, {img_w})")
+                known_b = dp(jnp.asarray(
+                    np.repeat(inpaint_img[None], args["num_images"],
+                              axis=0)))
+                mask_b = jnp.asarray(inpaint_mask)
+                # Start the known region on its forward marginal.
+                x_t = ((1.0 - mask_b) * x_t + mask_b * schedule.q_sample(
+                    known_b, jnp.array([max_noise_eff]), noise))
+            ink = dict(inpaint_known=known_b, inpaint_mask=mask_b,
+                       inpaint_noise=noise)
+
         gs = args["guidance_scale"]
         if gs != 1.0 and labels is None:
             raise ValueError("--guidance-scale needs a label-conditional "
@@ -271,7 +328,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 min_noise=model_dict["min_noise"],
                 max_noise=max_noise_eff,
                 ddim_step_size=args["ddim_step_size"],
-                cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
+                cond_img=c, labels=l, **ink))(params, x_t, labels,
+                                              dp(cond_img))
         elif args["diff_alg"].lower() == "dpmpp":
             from sdm_tpu.diffusion.samplers import dpmpp_sample
             x_t = jax.jit(lambda p, xt, l, c: dpmpp_sample(

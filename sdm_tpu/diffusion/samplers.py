@@ -104,15 +104,33 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                 labels: Optional[jnp.ndarray] = None,
                 eta: float = 0.0,
                 rng: Optional[jax.Array] = None,
-                zs: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                zs: Optional[jnp.ndarray] = None,
+                inpaint_known: Optional[jnp.ndarray] = None,
+                inpaint_mask: Optional[jnp.ndarray] = None,
+                inpaint_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """DDIM sampling (eta=0 deterministic by default, matching the reference's
     hardcoded choice, :84-86). For eta > 0 the per-step gaussian noise comes
     from `rng`, or can be injected via `zs` (shape (len(steps)-1, *x.shape))
     for deterministic numeric tests — the same injection design as
-    ddpm_sample."""
+    ddpm_sample.
+
+    Inpainting (TPU-build extension, RePaint-style projection with a shared
+    degradation noise so eta=0 stays deterministic): where `inpaint_mask` is
+    1 the trajectory is projected onto q_sample(inpaint_known, t-1,
+    inpaint_noise) after every update, and the final x0 is blended back to
+    the known pixels — the model only synthesizes the mask==0 region,
+    conditioned on the known context at every step."""
     steps = ddim_step_list(min_noise, max_noise, ddim_step_size)
     if eta != 0.0 and rng is None and zs is None:
         raise ValueError("eta > 0 needs rng (or injected zs)")
+    if inpaint_known is not None:
+        if inpaint_mask is None or inpaint_noise is None:
+            raise ValueError(
+                "inpainting needs inpaint_known, inpaint_mask AND "
+                "inpaint_noise together")
+        _known = inpaint_known.astype(jnp.float32)
+        _mask = inpaint_mask.astype(jnp.float32)
+        _pnoise = inpaint_noise.astype(jnp.float32)
 
     t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)
     if eta != 0.0 and zs is not None:
@@ -150,6 +168,10 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         x_new = (abar_tm1 ** 0.5 * x0_approx
                  + (1.0 - abar_tm1 - sigma ** 2) ** 0.5 * eps_hat
                  + sigma * noise)
+        if inpaint_known is not None:
+            # Project the known region onto its forward marginal at t-1.
+            x_new = ((1.0 - _mask) * x_new
+                     + _mask * schedule.q_sample(_known, tm1, _pnoise))
         return x_new, None
 
     if len(steps) > 1:
@@ -165,6 +187,10 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     _, _, abar_t = schedule.timestep_params(t_last)
     abar_t = abar_t.astype(jnp.float32)
     x0_approx = (x_t - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+    if inpaint_known is not None:
+        x0_approx = (1.0 - _mask) * x0_approx + _mask * _known
+        x_t = (1.0 - _mask) * x_t + _mask * schedule.q_sample(
+            _known, t_last, _pnoise)
     if steps[-1] == 1:  # static python condition (step list is static)
         return x0_approx
     return x_t

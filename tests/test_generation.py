@@ -339,3 +339,57 @@ def test_img2img_init_image_generation(tmp_path):
         generate_images_diffusion(raw_args=[
             "-c", cfg_path, "-n", "1", "--init_img_path", init_path,
         ], log=lambda *a, **k: None, save_locally=False)
+
+
+def test_inpainting_keeps_known_region(tmp_path):
+    """Inpainting (--inpaint_img_path/--inpaint_mask_path): the kept region
+    equals the known image exactly (final x0 blend) while the generated
+    region actually differs from it; mutually exclusive with img2img and
+    ddim-only."""
+    import cv2
+
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    _, p = _save_ref_ckpt(tmp_path, "mi.pt", seed=4)
+    bundle = export_bundle("inp", str(tmp_path), img_c=3, img_h=16, img_w=16,
+                           model_type="BASE",
+                           entries=[(_train_cfg(1, 20), p)])
+    cfg_path = os.path.join(bundle, "config.json")
+
+    rng_img = np.random.default_rng(6)
+    known_u8 = rng_img.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    known_path = str(tmp_path / "known.png")
+    cv2.imwrite(known_path, known_u8)
+    mask = np.zeros((16, 16), np.uint8)
+    mask[:, :8] = 255  # keep the left half
+    mask_path = str(tmp_path / "mask.png")
+    cv2.imwrite(mask_path, mask)
+
+    got = generate_images_diffusion(raw_args=[
+        "-c", cfg_path, "-n", "2", "-s", "13", "--diff_alg", "ddim",
+        "--ddim_step_size", "4", "-T", "20",
+        "--inpaint_img_path", known_path, "--inpaint_mask_path", mask_path,
+    ], log=lambda *a, **k: None, save_locally=False)
+    got = np.asarray(got)
+    known = (cv2.imread(known_path).astype(np.float32) - 127.5) / 127.5
+
+    # Kept region == known image exactly; generated region is synthesized.
+    np.testing.assert_allclose(got[:, :, :8, :],
+                               np.repeat(known[None], 2, 0)[:, :, :8, :],
+                               rtol=0, atol=1e-6)
+    assert np.abs(got[:, :, 8:, :]
+                  - np.repeat(known[None], 2, 0)[:, :, 8:, :]).max() > 0.1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ddim"):
+        generate_images_diffusion(raw_args=[
+            "-c", cfg_path, "-n", "1", "--diff_alg", "ddpm", "-T", "20",
+            "--inpaint_img_path", known_path,
+            "--inpaint_mask_path", mask_path,
+        ], log=lambda *a, **k: None, save_locally=False)
+    with _pytest.raises(ValueError, match="go together"):
+        generate_images_diffusion(raw_args=[
+            "-c", cfg_path, "-n", "1", "--diff_alg", "ddim", "-T", "20",
+            "--inpaint_img_path", known_path,
+        ], log=lambda *a, **k: None, save_locally=False)
