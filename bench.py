@@ -211,6 +211,23 @@ def bench_train64_e2e(batch: int, steps: int = 110):
         # measurement, which a real run's 1000s-of-steps epochs never see.
         epoch_checkpoint_every=10_000,
     )
+    # Probe the host->device link FIRST: one uint8 training batch shipped +
+    # a scalar fetched, per rep. On tunnel-attached devices this transfer
+    # does NOT overlap device compute (measured: it serializes), so the e2e
+    # floor is device_step + this number — the field lets the recorded JSON
+    # self-explain a slow day (2026-08-18: 80 ms/batch made e2e 5.2 steps/s
+    # vs 9.1 the day before with the same code; decode is 15 ms/batch and
+    # never the bottleneck).
+    import jax
+    import jax.numpy as jnp
+    probe = np.zeros((batch, 64, 64, 3), np.uint8)
+    probe_f = jax.jit(lambda a: jnp.float32(a.sum()))
+    float(probe_f(probe))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        float(probe_f(probe))
+    ship_ms = (time.perf_counter() - t0) / 10 * 1000.0
+
     t0 = time.perf_counter()
     summary = run_training(BASE_SPEC, cfg, max_steps=steps)
     wall = time.perf_counter() - t0
@@ -218,7 +235,8 @@ def bench_train64_e2e(batch: int, steps: int = 110):
     iv = sorted(raw)
     diag = {"e2e_window_steps": min(50, max(0, len(iv))),
             "e2e_total_steps": steps,
-            "e2e_wall_s": round(wall, 1)}
+            "e2e_wall_s": round(wall, 1),
+            "e2e_ship_ms_per_batch": round(ship_ms, 1)}
     if iv:
         median = iv[len(iv) // 2]
         diag.update({
