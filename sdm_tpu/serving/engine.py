@@ -265,7 +265,9 @@ class SamplerEngine:
                  labels: Optional[List[float]] = None,
                  guidance_scale: float = 1.0,
                  lr_image: Optional[np.ndarray] = None) -> np.ndarray:
-        """One request -> (num_images, H, W, C) float images in [-1, 1].
+        """One request -> (num_images, H, W, C) images: float in [-1, 1]
+        by default, uint8 in [0, 255] when the engine was built with
+        output_dtype="uint8".
 
         SR bundles require `lr_image` (H_lr, W_lr, C) in [-1, 1]; it is
         shared by the request's num_images (each gets its own noise)."""
