@@ -375,7 +375,33 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     n_dev = mesh.devices.size
     state = mh.replicate(state, mesh)
 
+    # FSDP (config "fsdp", default off = replicated parity behavior): shard
+    # every large state leaf (params, Adam moments, EMA) over the data axis —
+    # at-rest state memory drops ~n_dev; XLA turns the gradient all-reduce
+    # into reduce-scatter + per-use all-gathers (parallel/fsdp.py).
+    fsdp_on = bool(config_dict.get("fsdp", False)) and n_dev > 1
+    state_shardings = None
+    if fsdp_on:
+        if multi:
+            # Checkpoint/preview I/O localizes state to process 0, which
+            # needs fully-addressable arrays; cross-host FSDP would require
+            # a gather step we don't carry until real pod hardware exists.
+            raise ValueError('"fsdp" and "multihost" cannot be combined yet;'
+                             " shard within each host's devices instead")
+        from sdm_tpu.parallel.fsdp import shard_state_fsdp
+        state, state_shardings = shard_state_fsdp(
+            state, mesh,
+            min_size=int(config_dict.get("fsdp_min_size", 2 ** 15)))
+
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+    jit_kwargs = {}
+    if fsdp_on:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # Pin the updated state back to the FSDP layout (and donate the old
+        # one); without this GSPMD may legally round-trip to replicated.
+        jit_kwargs["out_shardings"] = (
+            state_shardings,
+            jax.tree.map(lambda _: NamedSharding(mesh, P()), {"loss": 0.0}))
     step_fn = jax.jit(
         make_train_step(apply_fn, schedule, tx, objective=spec.objective,
                         min_noise_step=min_noise_step,
@@ -387,7 +413,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         cfg_drop_prob=float(
                             config_dict.get("cfg_drop_prob", 0.0)),
                         ema_decay=ema_decay),
-        donate_argnums=(0,))
+        donate_argnums=(0,), **jit_kwargs)
 
     def lr_of(step_count) -> float:
         # Pure-python mirror of reference_lr_schedule for logging — avoids
@@ -406,7 +432,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     logging.info(f"Diffusion LR: {lr_of(global_steps):.5f}")
     logging.info(f"Using Conditional Info.: {use_conditional}")
     logging.info(f"Image Augmentation (Random Horizontal Flip): {flip_imgs}")
-    logging.info(f"Devices (data mesh): {n_dev}")
+    logging.info(f"Devices (data mesh): {n_dev}"
+                 + (" [FSDP state sharding]" if fsdp_on else ""))
     logging.info(f"Compute dtype: {compute_dtype or jnp.float32}")
     if spec.is_sr:
         logging.info(f"Low Resolution Dim: {lr_dim:,}")
