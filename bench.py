@@ -396,6 +396,48 @@ def bench_serving128(batch: int = 32, n_batches: int = 5,
     }
 
 
+def bench_decode(n_imgs: int = 512, hw: int = 64, batch: int = 128,
+                 epochs: int = 3):
+    """Host-only: training-batch decode throughput of the native C++ batch
+    decoder (csrc/sdm_decode.cc) vs the Python path (cv2 over a thread pool
+    — the reference's decode engine, train_diffusion.py:148-157). Measures
+    the full DataLoader iteration (decode + collate + prefetch queue) on
+    synthetic JPEGs at the train64 shape."""
+    import tempfile
+
+    import cv2
+    import numpy as np
+
+    from sdm_tpu.data import native
+    from sdm_tpu.data.datasets import ImageDataset
+    from sdm_tpu.data.loader import DataLoader
+
+    if not native.available():
+        raise RuntimeError("native decoder unavailable")
+    rng = np.random.default_rng(0)
+    rates = {}
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n_imgs):
+            p = os.path.join(d, f"im_{i}.jpg")
+            cv2.imwrite(p, rng.integers(0, 256, (hw, hw, 3), dtype=np.uint8),
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+            paths.append(p)
+        for nat in (False, True):
+            ds = ImageDataset(img_paths=paths, normalized=False)
+            dl = DataLoader(ds, batch_size=batch, shuffle=False,
+                            native_decode=nat)
+            for _ in dl:            # warm-up epoch (page cache, pools)
+                pass
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(epochs):
+                for b in dl:
+                    n += b["image"].shape[0]
+            rates["native" if nat else "python"] = n / (time.perf_counter() - t0)
+    return rates
+
+
 def bench_kernels_check():
     """On-device (real TPU) numerical spot check of every Pallas kernel vs
     its XLA reference — fwd AND grad where a custom VJP exists. The CPU test
@@ -515,7 +557,7 @@ def main():
                         choices=["ddim50", "dpmpp10", "distill2", "distill4",
                                  "train64", "train64_e2e",
                                  "sr256", "kernels_check", "serving128",
-                                 "serving_distill2"],
+                                 "serving_distill2", "decode"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
@@ -586,6 +628,17 @@ def main():
             # raw sampling are directly comparable.
             "vs_baseline": round(value / 200.0, 4),
             **diag,
+        }))
+    elif args.metric == "decode":
+        rates = bench_decode(batch=args.batch or 128)
+        print(json.dumps({
+            "metric": "native_decode_64x64_images_per_sec_per_host",
+            "value": round(rates["native"], 1),
+            "unit": "images/sec/host",
+            # Baseline = the Python path (cv2 thread pool), i.e. the
+            # reference's decode engine on the same host.
+            "vs_baseline": round(rates["native"] / rates["python"], 3),
+            "python_images_per_sec": round(rates["python"], 1),
         }))
     elif args.metric == "kernels_check":
         errs = bench_kernels_check()

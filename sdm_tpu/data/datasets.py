@@ -53,6 +53,11 @@ class _DecodeCache:
         self.normalized = normalized
         self._cache = {}
 
+    def norm_batch(self, arr: np.ndarray) -> np.ndarray:
+        """Apply this cache's normalization contract to a whole uint8 batch
+        (the native decoder's output) — same math as _norm, vectorized."""
+        return _norm(arr) if self.normalized else arr
+
     def read(self, path: str) -> np.ndarray:
         if not self.enabled:
             img = _imread_u8(path)
@@ -86,6 +91,17 @@ class ImageDataset:
         if self.return_filepaths:
             return {"image": img, "path": path}
         return {"image": img}
+
+    def batch_paths(self, indices):
+        """Native-decode plan for the loader's batched fast path
+        (data/native.py): ({field: [image paths]}, {field: [plain values]}),
+        or None when this dataset must go through __getitem__ (RAM cache
+        enabled — its decode-once semantics would be bypassed)."""
+        if self._cache.enabled:
+            return None
+        paths = [self.img_paths[i] for i in indices]
+        extras = {"path": paths} if self.return_filepaths else {}
+        return {"image": paths}, extras
 
 
 class ConditionalImgDataset:
@@ -121,6 +137,15 @@ class ConditionalImgDataset:
         return {"image": self._cache.read(path),
                 "labels": np.asarray(labels, dtype=np.float32)}
 
+    def batch_paths(self, indices):
+        """See ImageDataset.batch_paths."""
+        if self._cache.enabled:
+            return None
+        rows = [self.dataset[i] for i in indices]
+        return ({"image": [p for p, _ in rows]},
+                {"labels": [np.asarray(l, dtype=np.float32)
+                            for _, l in rows]})
+
 
 class DoodleImgDataset:
     """TinyDB-backed image/conditional-image pairs (doodle_dataset.py:14-65):
@@ -154,3 +179,11 @@ class DoodleImgDataset:
         img_path, cond_path = self.dataset[index]
         return {"image": self._cache.read(img_path),
                 "cond_img": self._cache.read(cond_path)}
+
+    def batch_paths(self, indices):
+        """See ImageDataset.batch_paths."""
+        if self._cache.enabled:
+            return None
+        rows = [self.dataset[i] for i in indices]
+        return ({"image": [p for p, _ in rows],
+                 "cond_img": [c for _, c in rows]}, {})

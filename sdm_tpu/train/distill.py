@@ -244,7 +244,9 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
         dataset = ImageDataset(img_paths=img_list, cache_decoded=cache,
                                normalized=False)
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
-                        num_workers=8, seed=seed)
+                        num_workers=8, seed=seed,
+                        native_decode=bool(
+                            config_dict.get("native_decode", True)))
 
     compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None,
                      "fp32": None, "bf16": jnp.bfloat16}[

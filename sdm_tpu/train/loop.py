@@ -248,8 +248,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 f"dataset shard of {len(dataset)} items cannot fill a "
                 f"per-host batch of {local_batch}")
 
+    native_decode = bool(config_dict.get("native_decode", True))
     dataloader = DataLoader(dataset, batch_size=local_batch, shuffle=True,
-                            num_workers=8, seed=seed)
+                            num_workers=8, seed=seed,
+                            native_decode=native_decode)
     plot_loader = DataLoader(dataset,
                              batch_size=min(plot_img_count, len(dataset)),
                              shuffle=(spec.preview == "doodle"),
