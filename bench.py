@@ -557,7 +557,7 @@ def main():
                         choices=["ddim50", "dpmpp10", "distill2", "distill4",
                                  "train64", "train64_e2e",
                                  "sr256", "kernels_check", "serving128",
-                                 "serving_distill2", "decode"],
+                                 "serving_distill2", "decode", "distill1"],
                         default="train64")
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
@@ -577,12 +577,15 @@ def main():
         return {"tflops_per_sec": round(tflops, 2),
                 "mfu": round(tflops / args.peak_tflops, 4)}
 
-    if args.metric in ("ddim50", "dpmpp10", "distill2", "distill4"):
+    if args.metric in ("ddim50", "dpmpp10", "distill1", "distill2",
+                       "distill4"):
         batch = args.batch or 32
         sampler = "dpmpp" if args.metric == "dpmpp10" else "ddim"
-        # distill2/distill4: the 2-/4-interval DDIM grids a progressively
-        # distilled student samples on (train/distill.py) — 3/5 model calls.
-        step_size = {"distill2": 500, "distill4": 250}.get(args.metric, 20)
+        # distill1/2/4: the 1-/2-/4-interval DDIM grids a progressively
+        # distilled student samples on (train/distill.py) — 2/3/5 model
+        # calls (the grid always appends the final step-1 x0 call).
+        step_size = {"distill1": 1000, "distill2": 500,
+                     "distill4": 250}.get(args.metric, 20)
         repeats = 10 if args.metric.startswith("distill") else 3
         value, flop_rate = bench_ddim50(batch, args.pallas, sampler=sampler,
                                         step_size=step_size, repeats=repeats)
