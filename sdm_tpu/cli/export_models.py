@@ -52,6 +52,12 @@ def _bundle_entry(config_name: str, config_dict: dict, *, img_c: int,
     }
     if model_type == "SR":
         entry["cond_t"] = config_dict["cond_t"]
+    # v-parameterized models (config "objective": "V", TPU-build extension)
+    # tag their bundle entry so loaders wrap the model into the eps
+    # interface (io/bundles.py / diffusion/vpred.py). EPS stays untagged —
+    # reference-written bundles remain byte-compatible.
+    if str(config_dict.get("objective", "")).upper() == "V":
+        entry["objective"] = "V"
     return entry
 
 

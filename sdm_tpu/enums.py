@@ -30,8 +30,13 @@ class Objective(Enum):
     EPS          — noise prediction (reference train_diffusion.py:350-352)
     X0           — image reconstruction (reference train_noise_cold_diffusion.py:340-342)
     RESIDUAL_X0  — SR residual reconstruction (reference train_SR_diffusion.py:350,372-374)
+    V            — velocity prediction v = sqrt(abar)·eps − sqrt(1−abar)·x0
+                   (Salimans & Ho 2022; TPU-build extension, config
+                   "objective": "V" on the base trainer — the reference has
+                   no v-parameterization; see diffusion/vpred.py)
     """
 
     EPS = 0
     X0 = 1
     RESIDUAL_X0 = 2
+    V = 3

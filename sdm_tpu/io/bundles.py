@@ -91,4 +91,13 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     def model_fn_factory(p):
         return lambda x, t, labels: net.apply({"params": p}, x, t, labels)
 
+    # v-parameterized entries ("objective": "V", written by export_models
+    # from a training config with the V objective) are wrapped into the eps
+    # interface here, so every bundle consumer — generators (sequential,
+    # DP, pipeline), serving engine, eval sampling — supports v-models with
+    # zero sampler changes (diffusion/vpred.py).
+    if str(model_dict.get("objective", "EPS")).upper() == "V":
+        from sdm_tpu.diffusion.vpred import as_eps_factory
+        model_fn_factory = as_eps_factory(model_fn_factory, schedule)
+
     return model_fn_factory, schedule, net, params

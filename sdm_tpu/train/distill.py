@@ -208,6 +208,12 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
     from sdm_tpu.parallel import shard_batch
     from sdm_tpu.parallel.mesh import auto_data_mesh
 
+    if str(config_dict.get("objective", "")).upper() == "V":
+        raise NotImplementedError(
+            "progressive distillation currently assumes an eps-predicting "
+            "teacher; the closed-form two-teacher-step target below is "
+            "derived in eps space (v-teachers: convert the checkpoint or "
+            "extend _distill_target via diffusion/vpred.py)")
     out_dir = config_dict["out_dir"]
     os.makedirs(out_dir, exist_ok=True)
     seed = int(config_dict.get("seed", 0))

@@ -404,8 +404,23 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         jit_kwargs["out_shardings"] = (
             state_shardings,
             jax.tree.map(lambda _: NamedSharding(mesh, P()), {"loss": 0.0}))
+    # Objective override (config "objective", TPU-build extension): "V"
+    # swaps the eps target for the velocity target (diffusion/vpred.py) on
+    # the eps-family trainers; cold/SR keep their fixed parameterizations.
+    objective = spec.objective
+    obj_cfg = str(config_dict.get("objective", "")).upper()
+    if obj_cfg and obj_cfg != objective.name:
+        from sdm_tpu.enums import Objective
+        if obj_cfg == "V" and objective == Objective.EPS:
+            objective = Objective.V
+        else:
+            raise ValueError(
+                f'config "objective": "{obj_cfg}" is not valid for this '
+                f"trainer (supported: {objective.name}, or V on the "
+                "eps-family trainers)")
+
     step_fn = jax.jit(
-        make_train_step(apply_fn, schedule, tx, objective=spec.objective,
+        make_train_step(apply_fn, schedule, tx, objective=objective,
                         min_noise_step=min_noise_step,
                         max_actual_noise_step=max_actual_noise_step,
                         flip_imgs=flip_imgs, cond_t=cond_t, lr_dim=lr_dim,
@@ -462,7 +477,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                     if plot_labels is not None else None)
 
         def model_fn_factory(p):
-            return lambda x, t, l: net.apply({"params": p}, x, t, l)
+            fn = lambda x, t, l: net.apply({"params": p}, x, t, l)
+            from sdm_tpu.enums import Objective
+            if objective == Objective.V:
+                # Previews sample with the same eps-interface samplers;
+                # convert the v-model output (diffusion/vpred.py).
+                from sdm_tpu.diffusion.vpred import as_eps_model
+                fn = as_eps_model(fn, schedule)
+            return fn
 
         if spec.preview in ("base", "cold", "doodle"):
             if max_actual_noise_step < max_noise_step:

@@ -14,6 +14,7 @@ Objectives (SURVEY.md §2.5):
   EPS          eps-prediction, target = noise              (train_diffusion.py:350-352)
   X0           x0-prediction, target = clean image         (train_noise_cold_diffusion.py:340-342)
   RESIDUAL_X0  SR residual, target = x_hr - up(down(x_hr)) (train_SR_diffusion.py:350-374)
+  V            velocity, target = a·eps − s·x0             (TPU-build extension, diffusion/vpred.py)
 
 Conditioning:
   labels    — vector conditioning through the model's third arg;
@@ -192,7 +193,15 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
             if cond_img is not None:
                 x_in = jnp.concatenate([x_in, cond_img.astype(x_in.dtype)],
                                        axis=-1)
-            target = eps if objective == Objective.EPS else images_f
+            if objective == Objective.EPS:
+                target = eps
+            elif objective == Objective.V:
+                # v-parameterization (diffusion/vpred.py; TPU-build
+                # extension, config "objective": "V").
+                from sdm_tpu.diffusion.vpred import v_target
+                target = v_target(schedule, t, images_f, eps)
+            else:
+                target = images_f
 
         pred = apply_fn(params, x_in, t, labels)
         return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))

@@ -183,6 +183,41 @@ def test_cosine_train_export_generate_reproduces_structure(tmp_path):
     assert corr > 0.95, corr
 
 
+def test_vpred_train_export_generate_reproduces_structure(tmp_path):
+    """Same base/DDIM pipeline but with the v-parameterization (config
+    "objective": "V", diffusion/vpred.py): the V-trained model must
+    reproduce the structure through the tagged bundle + eps-adapter path —
+    pinning that the velocity target actually LEARNS end-to-end, not just
+    that the algebra is self-consistent (tests/test_vpred.py)."""
+    from sdm_tpu.train.loop import BASE_SPEC
+    from sdm_tpu.cli.generate_images_diffusion import (
+        generate_images_diffusion)
+
+    hw = 8
+    target_decoded = _write_identical_images(tmp_path / "imgs",
+                                             _gradient_image(hw))
+    cfg = _cfg(tmp_path, objective="V")
+    bundle_dir = _train_and_export(BASE_SPEC, cfg, tmp_path, "conv-vpred",
+                                   "BASE", hw, steps=800)
+    cfg_path = os.path.join(bundle_dir, "config.json")
+    with open(cfg_path) as f:
+        assert json.load(f)["models"][0]["objective"] == "V"
+
+    imgs = generate_images_diffusion(raw_args=[
+        "--num_images", "4", "--device", "cpu",
+        "--diff_alg", "ddim", "--ddim_step_size", "5",
+        "--seed", "3", "--config", cfg_path,
+        "--dest_path", str(tmp_path),
+    ], log=lambda *a, **k: None, save_locally=False)
+    samples = np.asarray(imgs, np.float32)
+
+    mse = float(np.mean((samples - target_decoded[None]) ** 2))
+    assert mse < 0.05, mse
+    col_means = samples.mean(axis=(0, 1, 3))
+    corr = np.corrcoef(col_means, target_decoded.mean(axis=(0, 2)))[0, 1]
+    assert corr > 0.95, corr
+
+
 def test_sr_train_export_generate_beats_upsampling(tmp_path):
     """SR family: train the residual-x0 SR model on synthetic structured
     images, export an SR bundle, super-resolve the downsampled image through
