@@ -98,13 +98,22 @@ def distill_target(apply_teacher: Callable, schedule,
 
 
 def make_distill_step(apply_fn: Callable, schedule, tx, *,
-                      step_list: List[int]) -> Callable:
+                      step_list: List[int],
+                      objective=None) -> Callable:
     """Build the jitted distillation step.
 
     apply_fn(params, x, t, labels) -> eps prediction (the same callable the
     trainers use). Returned step: (state, teacher_params, batch, rng) ->
     (new_state, metrics); batch = {"image" [, "labels"] [, "cond_img"]} with
-    the trainers' uint8-or-float pixel convention."""
+    the trainers' uint8-or-float pixel convention.
+
+    objective=Objective.V distills a v-parameterized teacher into a
+    v-parameterized student: both model outputs are converted to eps at
+    their per-sample steps (diffusion/vpred.py) before the same x0-space
+    target math — checkpoints stay v-models, so the exported bundle keeps
+    its "objective": "V" tag and samples through the standard adapter."""
+    from sdm_tpu.enums import Objective
+    v_mode = objective == Objective.V
     pairs = jnp.asarray(distill_pairs(step_list))  # (P, 3)
     n_rows = int(pairs.shape[0])
 
@@ -148,10 +157,21 @@ def make_distill_step(apply_fn: Callable, schedule, tx, *,
             eps = jax.random.normal(eps_key, images.shape, jnp.float32)
 
         x_t = schedule.q_sample(images, t, eps)
-        teacher = lambda x, tt: apply_fn(teacher_params, _cat(x), tt, labels)
+        if v_mode:
+            from sdm_tpu.diffusion.vpred import eps_from_v
+
+            def teacher(x, tt):
+                v = apply_fn(teacher_params, _cat(x), tt, labels)
+                return eps_from_v(schedule, tt, x, v.astype(jnp.float32))
+        else:
+            teacher = lambda x, tt: apply_fn(teacher_params, _cat(x), tt,
+                                             labels)
         x_tilde = distill_target(teacher, schedule, x_t, t, m, u)
 
         eps_hat = apply_fn(params, _cat(x_t), t, labels).astype(jnp.float32)
+        if v_mode:
+            from sdm_tpu.diffusion.vpred import eps_from_v
+            eps_hat = eps_from_v(schedule, t, x_t, eps_hat)
         a_t, s_t = _a_s(schedule, t, x_t.ndim)
         x0_hat = (x_t - s_t * eps_hat) / a_t
 
@@ -208,12 +228,13 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
     from sdm_tpu.parallel import shard_batch
     from sdm_tpu.parallel.mesh import auto_data_mesh
 
-    if str(config_dict.get("objective", "")).upper() == "V":
-        raise NotImplementedError(
-            "progressive distillation currently assumes an eps-predicting "
-            "teacher; the closed-form two-teacher-step target below is "
-            "derived in eps space (v-teachers: convert the checkpoint or "
-            "extend _distill_target via diffusion/vpred.py)")
+    # v-parameterized teachers (config "objective": "V") distill into
+    # v-parameterized students: make_distill_step converts both model
+    # outputs to eps at their steps before the shared x0-space target math.
+    from sdm_tpu.enums import Objective
+    objective = (Objective.V
+                 if str(config_dict.get("objective", "")).upper() == "V"
+                 else Objective.EPS)
     out_dir = config_dict["out_dir"]
     os.makedirs(out_dir, exist_ok=True)
     seed = int(config_dict.get("seed", 0))
@@ -319,7 +340,8 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
         tx = make_optimizer(lr, lr_steps)
         state = create_train_state(jax.tree.map(jnp.array, teacher_params), tx)
         step_fn = jax.jit(
-            make_distill_step(apply_fn, schedule, tx, step_list=step_list),
+            make_distill_step(apply_fn, schedule, tx, step_list=step_list,
+                              objective=objective),
             donate_argnums=(0,))
 
         last = float("nan")

@@ -126,6 +126,91 @@ def test_distill_step_decreases_loss():
     assert np.mean(losses[-8:]) < 0.5 * np.mean(losses[:8]), losses
 
 
+def test_v_mode_distill_step_equals_eps_mode_on_same_function():
+    """objective=V distillation must optimize the SAME loss as eps-mode when
+    the v-model is the exact algebraic counterpart of the eps-model
+    (v = (eps − s·x)/a): identical loss AND identical updated params, since
+    the loss-as-a-function-of-params is the same composite."""
+    from sdm_tpu.enums import Objective
+
+    net = _tiny_net()
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    x0 = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t0 = jnp.array([1], jnp.int32)
+    params = net.init(jax.random.PRNGKey(5), x0, t0, None)["params"]
+    apply_eps = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+
+    def apply_v(p, x, t, l):
+        # v = (eps − s·x)/a — same function, velocity parameterization.
+        abar = schedule.alpha_bar_at(t).astype(jnp.float32)
+        abar = abar.reshape(abar.shape + (1,) * (x.ndim - abar.ndim))
+        a, s = abar ** 0.5, (1.0 - abar) ** 0.5
+        return (apply_eps(p, x, t, l).astype(jnp.float32) - s * x) / a
+
+    # SGD, not Adam: Adam's m/(sqrt(v)+eps) normalizes fp32-rounding-level
+    # differences of near-zero gradient entries up to full lr scale, which
+    # would test optimizer noise amplification instead of the distill math.
+    import optax
+    tx = optax.sgd(1e-2)
+    step_list = ddim_step_list(1, 50, 10)
+    batch = {
+        "image": jax.random.uniform(jax.random.PRNGKey(6), (4, 8, 8, 3),
+                                    jnp.float32, -1.0, 1.0),
+        "row": jnp.array([0, 1, 2, 4], jnp.int32),
+        "eps": jax.random.normal(jax.random.PRNGKey(7), (4, 8, 8, 3)),
+    }
+    out = {}
+    for name, fn, obj in (("eps", apply_eps, None),
+                          ("v", apply_v, Objective.V)):
+        state = create_train_state(jax.tree.map(jnp.array, params), tx)
+        step = jax.jit(make_distill_step(fn, schedule, tx,
+                                         step_list=step_list, objective=obj))
+        new_state, metrics = step(state, params, batch, jax.random.PRNGKey(8))
+        out[name] = (float(metrics["loss"]), new_state.params)
+
+    # fp32 rounding through the extra v<->eps conversions: measured 3e-5
+    # relative on a ~1e-5 loss.
+    np.testing.assert_allclose(out["eps"][0], out["v"][0], rtol=5e-4)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, out["eps"][1])),
+                    jax.tree.leaves(jax.tree.map(np.asarray, out["v"][1]))):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+
+def test_v_teacher_distillation_runs(tmp_path):
+    """run_distillation on a v-trained checkpoint (config objective V): one
+    phase runs with finite losses and writes a student checkpoint that
+    exports with the V tag."""
+    import glob
+    import json
+    import os
+
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from sdm_tpu.train.distill import run_distillation
+    from sdm_tpu.cli.export_models import export_bundle
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, objective="V", skip_step=4,
+                       checkpoint_steps=2)
+    run_training(BASE_SPEC, cfg, max_steps=2)
+    teacher = sorted(glob.glob(
+        str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))[-1]
+
+    res = run_distillation(cfg, teacher_checkpoint=teacher, phases=1,
+                           steps_per_phase=2, log=lambda *a, **k: None)
+    assert res["phase_step_sizes"] == [8]
+    assert np.isfinite(res["phase_losses"][0]).all()
+    student = sorted(glob.glob(
+        str(tmp_path / "out" / "checkpoint" / "distilled_ss8_*.pt")))[-1]
+    bundle_dir = export_bundle("vdist", str(tmp_path), img_c=3, img_h=8,
+                               img_w=8, model_type="BASE",
+                               entries=[(cfg, student)])
+    entry = json.load(open(os.path.join(bundle_dir,
+                                        "config.json")))["models"][0]
+    assert entry["objective"] == "V"
+
+
 @pytest.mark.slow
 def test_distilled_student_beats_teacher_at_coarse_grid(tmp_path):
     """Train the convergence-toy teacher (T=50, good at DDIM step 5), distill
