@@ -145,6 +145,22 @@ def test_loader_native_respects_shard_and_cache(tmp_path):
     np.testing.assert_array_equal(got[0]["image"][0], cv2.imread(paths[0]))
 
 
+def test_loader_falls_back_when_native_cannot_decode(tmp_path):
+    """A dataset containing a format the C++ decoder rejects (webp) must
+    still load correctly: the loader catches the native failure and the
+    Python/cv2 path serves the batch."""
+    paths = _mk_imgs(tmp_path, n=3)
+    rng = np.random.default_rng(9)
+    wp = str(tmp_path / "im_3.webp")
+    assert cv2.imwrite(wp, rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+    paths.append(wp)
+    ds = ImageDataset(img_paths=paths, normalized=False)
+    dl = DataLoader(ds, batch_size=4, shuffle=False, native_decode=True)
+    got = list(dl)[0]
+    assert dl._native is False  # fallback engaged and latched
+    np.testing.assert_array_equal(got["image"][3], cv2.imread(wp))
+
+
 def test_loader_native_return_filepaths(tmp_path):
     paths = _mk_imgs(tmp_path, n=4)
     ds = ImageDataset(img_paths=paths, return_filepaths=True,
