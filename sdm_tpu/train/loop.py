@@ -429,7 +429,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         # 0 = parity): see diffusion/guidance.py.
                         cfg_drop_prob=float(
                             config_dict.get("cfg_drop_prob", 0.0)),
-                        ema_decay=ema_decay),
+                        ema_decay=ema_decay,
+                        # min-SNR-gamma loss weighting (config
+                        # "min_snr_gamma", TPU-build extension; default
+                        # None = the reference's uniform MSE).
+                        min_snr_gamma=(
+                            float(config_dict["min_snr_gamma"])
+                            if config_dict.get("min_snr_gamma") is not None
+                            else None)),
         donate_argnums=(0,), **jit_kwargs)
 
     def lr_of(step_count) -> float:

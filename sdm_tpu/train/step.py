@@ -106,7 +106,8 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                     lr_dim: Optional[int] = None,
                     grad_accum_steps: int = 1,
                     cfg_drop_prob: float = 0.0,
-                    ema_decay: Optional[float] = None) -> Callable:
+                    ema_decay: Optional[float] = None,
+                    min_snr_gamma: Optional[float] = None) -> Callable:
     """Build the fused train step.
 
     apply_fn(params, x, t, labels) -> model output.
@@ -129,6 +130,13 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
       ema_decay — maintains an exponential moving average of params in the
         state's ema_params (updated after each optimizer step); previews,
         checkpoints, and generators can sample from the averaged weights.
+      min_snr_gamma — min-SNR-gamma per-sample loss weighting (Hang et al.
+        2023): caps each timestep's effective weight at gamma in SNR terms
+        so easy high-SNR (low-noise) samples stop dominating the gradient.
+        With SNR(t) = abar/(1-abar), the weight in the model's own output
+        space is min(SNR,g)/SNR for EPS, min(SNR,g)/(SNR+1) for V, and
+        min(SNR,g) for X0/RESIDUAL_X0. None (default) keeps the reference's
+        uniform MSE.
     """
     if objective == Objective.RESIDUAL_X0:
         if cond_t is None or lr_dim is None:
@@ -204,7 +212,20 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                 target = images_f
 
         pred = apply_fn(params, x_in, t, labels)
-        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target))
+        sq = jnp.square(pred.astype(jnp.float32) - target)
+        if min_snr_gamma is None:
+            return jnp.mean(sq)
+        g = jnp.float32(min_snr_gamma)
+        abar = schedule.alpha_bar_at(t).astype(jnp.float32)
+        snr = abar / (1.0 - abar)
+        if objective == Objective.EPS:
+            w = jnp.minimum(snr, g) / snr
+        elif objective == Objective.V:
+            w = jnp.minimum(snr, g) / (snr + 1.0)
+        else:  # X0 / RESIDUAL_X0 predict in image space
+            w = jnp.minimum(snr, g)
+        per_sample = jnp.mean(sq, axis=tuple(range(1, sq.ndim)))
+        return jnp.mean(w * per_sample)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):

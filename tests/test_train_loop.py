@@ -203,6 +203,15 @@ def test_training_with_grad_accum_and_remat(tmp_path):
     assert np.isfinite(result["last_loss"])
 
 
+def test_training_with_min_snr_gamma(tmp_path):
+    """Config min_snr_gamma (weighted loss) through the full loop."""
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, min_snr_gamma=5.0, checkpoint_steps=1000)
+    result = run_training(BASE_SPEC, cfg, max_steps=2)
+    assert result["global_steps"] == 2
+    assert np.isfinite(result["last_loss"])
+
+
 def test_training_is_deterministic_given_seed(tmp_path):
     """Same config + seed -> identical per-step losses (model init, t/eps
     draws, dataset shuffle, and batch order are all seeded)."""

@@ -101,6 +101,50 @@ def test_v_model_samples_identically_to_eps_model(alg):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("objective", [Objective.EPS, Objective.V])
+def test_min_snr_gamma_weighting(objective):
+    """min_snr_gamma (Hang et al. 2023, TPU-build extension) reweights the
+    per-sample MSE by the published per-objective formula; None keeps the
+    reference's uniform mean (parity default)."""
+    net = UNet(num_resnet_blocks=1, in_channel=3, out_channel=3, time_dim=8,
+               cond_dim=None, num_layers=1, attn_layers=(0,), num_heads=1,
+               dim_per_head=None, groups=8, min_channel=16, max_channel=16,
+               image_recon=False)
+    rng = np.random.default_rng(4)
+    imgs = jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((4, 8, 8, 3)).astype(np.float32))
+    t = jnp.asarray([5, 300, 650, 995], dtype=jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), imgs[:1], t[:1])["params"]
+    tx = make_optimizer(1e-3, 100_000)
+    apply_fn = lambda p, x, tt, l: net.apply({"params": p}, x, tt, l)
+    batch = {"image": imgs, "eps": eps, "t": t}
+    gamma = 5.0
+
+    losses = {}
+    for g in (None, gamma):
+        step = make_train_step(apply_fn, SCHEDULE, tx, objective=objective,
+                               flip_imgs=False, min_snr_gamma=g)
+        _, m = jax.jit(step)(create_train_state(params, tx), batch,
+                             jax.random.PRNGKey(0))
+        losses[g] = float(m["loss"])
+
+    # Hand-computed expectation.
+    x_t = SCHEDULE.q_sample(imgs, t, eps)
+    pred = apply_fn(params, x_t, t, None).astype(jnp.float32)
+    target = (eps if objective == Objective.EPS
+              else v_target(SCHEDULE, t, imgs, eps))
+    sq = jnp.square(pred - target)
+    np.testing.assert_allclose(losses[None], float(jnp.mean(sq)), rtol=1e-5)
+
+    abar = SCHEDULE.alpha_bar_at(t).astype(jnp.float32)
+    snr = abar / (1.0 - abar)
+    w = (jnp.minimum(snr, gamma) / snr if objective == Objective.EPS
+         else jnp.minimum(snr, gamma) / (snr + 1.0))
+    expected = float(jnp.mean(w * jnp.mean(sq, axis=(1, 2, 3))))
+    np.testing.assert_allclose(losses[gamma], expected, rtol=1e-5)
+    assert losses[gamma] != losses[None]
+
+
 def test_v_objective_pipeline_train_export_generate(tmp_path):
     """Config "objective": "V" end-to-end: the loop trains (finite loss,
     previews sample through the adapter), export tags the bundle entry, and
