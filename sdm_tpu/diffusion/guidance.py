@@ -64,6 +64,11 @@ def cfg_model_fn(model_fn: ModelFn, guidance_scale: float) -> ModelFn:
         e_uncond = e_uncond.astype(jnp.float32)
         return e_uncond + scale * (e_cond - e_uncond)
 
+    # The CFG combine is affine with weights summing to 1, so it is the
+    # same extrapolation in v space as in eps space (eps = a·v + s·x with a
+    # shared x): a v-model's tag (vpred.tag_v) must ride through so the
+    # samplers keep converting natively.
+    guided.model_output = getattr(model_fn, "model_output", "eps")
     return guided
 
 

@@ -23,6 +23,15 @@ Algorithm parity notes (all asserted in tests/test_samplers.py):
 `lambda x, t, l: net.apply({"params": p}, x, t, l)`. Conditional images are
 channel-concatenated on the last (C) axis, mirroring the reference's dim=1
 concat in NCHW (:28-31).
+
+v-parameterized models (TPU-build extension, diffusion/vpred.py): a model_fn
+carrying the attribute `model_output = "v"` (set by `vpred.tag_v`) is
+consumed NATIVELY by the eps-family samplers here — with a = sqrt(abar_t),
+s = sqrt(1-abar_t) they derive eps = a·v + s·x and x0 = a·x − s·v, both
+well-conditioned at every t (the reference's x0 = (x − s·eps)/a form loses
+all precision as a→0, e.g. at t=T under COSINE). The attribute is a static
+Python string read at trace time; absent means "eps" and every formula below
+stays bit-identical to the reference parity path.
 """
 
 from __future__ import annotations
@@ -51,6 +60,31 @@ def _concat_cond(x: jnp.ndarray, cond_img: Optional[jnp.ndarray]) -> jnp.ndarray
     return jnp.concatenate([x, cond_img.astype(x.dtype)], axis=-1)
 
 
+def _model_output(model_fn: ModelFn) -> str:
+    """The model's output parameterization: "eps" (default) or "v"
+    (vpred.tag_v). Static — resolved once at trace time."""
+    mo = str(getattr(model_fn, "model_output", "eps")).lower()
+    if mo not in ("eps", "v"):
+        raise ValueError(f"unsupported model_output tag {mo!r} "
+                         "(expected 'eps' or 'v')")
+    return mo
+
+
+def _to_eps_x0(raw: jnp.ndarray, x: jnp.ndarray, abar_t: jnp.ndarray,
+               model_output: str):
+    """(eps_hat, x0_hat) in fp32 from the model's raw output at abar_t.
+
+    eps models keep the reference's exact expressions (bit-identical parity:
+    x0 = (x − s·eps)/a, diffusion_sampling_algorithms.py:109-112); v models
+    use x0 = a·x − s·v, eps = a·v + s·x — no division, well-conditioned
+    everywhere (vpred module docstring)."""
+    s = (1.0 - abar_t) ** 0.5
+    if model_output == "v":
+        a = abar_t ** 0.5
+        return a * raw + s * x, a * x - s * raw
+    return raw, (x - s * raw) / abar_t ** 0.5
+
+
 def ddpm_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                 rng: Optional[jax.Array] = None,
                 min_noise: int = 1, max_noise: int = 1000,
@@ -63,6 +97,7 @@ def ddpm_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     (num_steps, *x.shape)) for deterministic parity tests; otherwise noise is
     drawn from `rng` inside the scan.
     """
+    mo = _model_output(model_fn)
     steps = jnp.arange(max_noise, min_noise - 1, -1, dtype=jnp.int32)
     num_steps = steps.shape[0]
     if zs is None:
@@ -77,8 +112,10 @@ def ddpm_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         t, noise_src = scan_x
         tvec = t[None]
         beta, alpha, alpha_bar = schedule.timestep_params(tvec)
-        eps_hat = model_fn(_concat_cond(x, cond_img), tvec, labels)
-        eps_hat = eps_hat.astype(jnp.float32)
+        raw = model_fn(_concat_cond(x, cond_img), tvec, labels)
+        eps_hat, _ = _to_eps_x0(raw.astype(jnp.float32),
+                                x.astype(jnp.float32),
+                                alpha_bar.astype(jnp.float32), mo)
         if zs is None:
             z = jax.random.normal(noise_src, x.shape, jnp.float32)
         else:
@@ -120,6 +157,7 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     inpaint_noise) after every update, and the final x0 is blended back to
     the known pixels — the model only synthesizes the mask==0 region,
     conditioned on the known context at every step."""
+    mo = _model_output(model_fn)
     steps = ddim_step_list(min_noise, max_noise, ddim_step_size)
     if eta != 0.0 and rng is None and zs is None:
         raise ValueError("eta > 0 needs rng (or injected zs)")
@@ -143,12 +181,12 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     def body(x, scan_x):
         pair, noise_in = scan_x
         t, tm1 = pair[0][None], pair[1][None]
-        eps_hat = model_fn(_concat_cond(x, cond_img), t, labels)
-        eps_hat = eps_hat.astype(jnp.float32)
+        raw = model_fn(_concat_cond(x, cond_img), t, labels)
         _, _, abar_t = schedule.timestep_params(t)
         abar_t = abar_t.astype(jnp.float32)
         x = x.astype(jnp.float32)
-        x0_approx = (x - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+        eps_hat, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x,
+                                        abar_t, mo)
         _, _, abar_tm1 = schedule.timestep_params(tm1)
         abar_tm1 = abar_tm1.astype(jnp.float32)
         if eta != 0.0:
@@ -182,11 +220,10 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     # Final visited step: predict eps and x0 once more (the loop's last
     # iteration computes x0 but performs no update, :114; :146-148).
     t_last = jnp.array([steps[-1]], dtype=jnp.int32)
-    eps_hat = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
-    eps_hat = eps_hat.astype(jnp.float32)
+    raw = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
     _, _, abar_t = schedule.timestep_params(t_last)
     abar_t = abar_t.astype(jnp.float32)
-    x0_approx = (x_t - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+    _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
     if inpaint_known is not None:
         x0_approx = (1.0 - _mask) * x0_approx + _mask * _known
         x_t = (1.0 - _mask) * x_t + _mask * schedule.q_sample(
@@ -224,6 +261,7 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     (the ODE solver has no eta analogue). Whole trajectory is one lax.scan;
     the per-step lambda/ratio coefficients are precomputed outside it.
     """
+    mo = _model_output(model_fn)
     steps = ddim_step_list(min_noise, max_noise, step_size)
 
     abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
@@ -242,10 +280,9 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     def body(carry, scan_x):
         x, x0_prev = carry
         s, sig_ratio, gain, c_i = scan_x
-        eps_hat = model_fn(_concat_cond(x, cond_img), s[None], labels)
-        eps_hat = eps_hat.astype(jnp.float32)
+        raw = model_fn(_concat_cond(x, cond_img), s[None], labels)
         abar_s = schedule.alpha_bar_at(s[None]).astype(jnp.float32)
-        x0 = (x - (1.0 - abar_s) ** 0.5 * eps_hat) / abar_s ** 0.5
+        _, x0 = _to_eps_x0(raw.astype(jnp.float32), x, abar_s, mo)
         d = (1.0 + c_i) * x0 - c_i * x0_prev
         x_new = sig_ratio * x + gain * d
         return (x_new, x0), None
@@ -258,10 +295,9 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     # semantics — x0 when the trajectory lands exactly on step 1, else x_t
     # so ensemble chaining composes).
     t_last = jnp.array([steps[-1]], dtype=jnp.int32)
-    eps_hat = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
-    eps_hat = eps_hat.astype(jnp.float32)
+    raw = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
     abar_t = schedule.alpha_bar_at(t_last).astype(jnp.float32)
-    x0_approx = (x_t - (1.0 - abar_t) ** 0.5 * eps_hat) / abar_t ** 0.5
+    _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
     if steps[-1] == 1:  # static python condition (step list is static)
         return x0_approx
     return x_t
@@ -275,6 +311,10 @@ def cold_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray,
                 labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Cold-diffusion sampling with an x0-predicting model; `noise` is the
     trajectory-shared degradation noise (:155)."""
+    if _model_output(model_fn) == "v":
+        raise ValueError(
+            "cold_sample consumes x0-predicting models; the v "
+            "parameterization applies to the eps family (ddpm/ddim/dpmpp)")
     steps = ddim_step_list(min_noise, max_noise, skip_step_size)
     noise = noise.astype(jnp.float32)
 

@@ -92,12 +92,15 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
         return lambda x, t, labels: net.apply({"params": p}, x, t, labels)
 
     # v-parameterized entries ("objective": "V", written by export_models
-    # from a training config with the V objective) are wrapped into the eps
-    # interface here, so every bundle consumer — generators (sequential,
-    # DP, pipeline), serving engine, eval sampling — supports v-models with
-    # zero sampler changes (diffusion/vpred.py).
+    # from a training config with the V objective) are tagged for the
+    # samplers' NATIVE v path (model_output = "v", diffusion/vpred.py):
+    # x0 = a·x − s·v stays well-conditioned at every t, where the older
+    # eps-adapter route lost x0 precision at t→T (cosine). The tag rides
+    # the model_fn interface, so every bundle consumer — generators
+    # (sequential, DP, pipeline), serving engine, eval sampling — supports
+    # v-models with zero signature changes.
     if str(model_dict.get("objective", "EPS")).upper() == "V":
-        from sdm_tpu.diffusion.vpred import as_eps_factory
-        model_fn_factory = as_eps_factory(model_fn_factory, schedule)
+        from sdm_tpu.diffusion.vpred import tag_v_factory
+        model_fn_factory = tag_v_factory(model_fn_factory)
 
     return model_fn_factory, schedule, net, params

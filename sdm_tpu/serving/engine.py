@@ -147,6 +147,10 @@ class SamplerEngine:
                         e_c, e_u = jnp.split(out, 2, axis=0)
                         return e_u + gs * (e_c - e_u)
 
+                    # Affine combine (weights sum to 1) is valid in v space
+                    # too — preserve a v-bundle's tag (diffusion/vpred.py).
+                    guided.model_output = getattr(
+                        base, "model_output", "eps")
                     return guided
             else:
                 def mk_fn(p, gs, _f=factory):

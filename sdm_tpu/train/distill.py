@@ -111,7 +111,7 @@ def make_distill_step(apply_fn: Callable, schedule, tx, *,
     v-parameterized student: both model outputs are converted to eps at
     their per-sample steps (diffusion/vpred.py) before the same x0-space
     target math — checkpoints stay v-models, so the exported bundle keeps
-    its "objective": "V" tag and samples through the standard adapter."""
+    its "objective": "V" tag and samples through the native tag_v path."""
     from sdm_tpu.enums import Objective
     v_mode = objective == Objective.V
     pairs = jnp.asarray(distill_pairs(step_list))  # (P, 3)

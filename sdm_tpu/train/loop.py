@@ -487,10 +487,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             fn = lambda x, t, l: net.apply({"params": p}, x, t, l)
             from sdm_tpu.enums import Objective
             if objective == Objective.V:
-                # Previews sample with the same eps-interface samplers;
-                # convert the v-model output (diffusion/vpred.py).
-                from sdm_tpu.diffusion.vpred import as_eps_model
-                fn = as_eps_model(fn, schedule)
+                # Previews use the samplers' native v path (tag detected
+                # at trace time — diffusion/vpred.py).
+                from sdm_tpu.diffusion.vpred import tag_v
+                fn = tag_v(fn)
             return fn
 
         if spec.preview in ("base", "cold", "doodle"):

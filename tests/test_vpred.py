@@ -1,7 +1,9 @@
 """v-parameterization (diffusion/vpred.py, config "objective": "V" —
 TPU-build extension): conversion identities, the train-step target, exact
-sampler equivalence of a v-model vs its eps counterpart, and the full
-train -> export -> generate pipeline with a tagged bundle."""
+sampler equivalence of a v-model vs its eps counterpart (through both the
+eps adapter and the samplers' NATIVE tag_v path), conditioning of the
+native path at t=T, and the full train -> export -> generate pipeline with
+a tagged bundle."""
 
 import glob
 import json
@@ -12,11 +14,12 @@ import jax.numpy as jnp
 import pytest
 
 from sdm_tpu.enums import Objective
-from sdm_tpu.diffusion.samplers import ddim_sample, ddpm_sample, dpmpp_sample
+from sdm_tpu.diffusion.samplers import (
+    cold_sample, ddim_sample, ddpm_sample, dpmpp_sample)
 from sdm_tpu.diffusion.vpred import (
-    as_eps_model, eps_from_v, v_target, x0_from_v)
+    as_eps_model, eps_from_v, tag_v, v_target, x0_from_v)
 from sdm_tpu.models import UNet
-from sdm_tpu.ops.schedules import LinearSchedule
+from sdm_tpu.ops.schedules import CosineSchedule, LinearSchedule
 from sdm_tpu.train import make_optimizer, make_train_step, create_train_state
 
 SCHEDULE = LinearSchedule.create(5e-3, 9e-3, 1000)
@@ -64,10 +67,12 @@ def test_v_objective_train_step_loss():
     np.testing.assert_allclose(float(m["loss"]), expected, rtol=1e-5)
 
 
+@pytest.mark.parametrize("route", ["adapter", "native"])
 @pytest.mark.parametrize("alg", ["ddim", "ddpm", "dpmpp"])
-def test_v_model_samples_identically_to_eps_model(alg):
+def test_v_model_samples_identically_to_eps_model(alg, route):
     """A v-model consistent with a given eps-model (v = (eps − s·x)/a) must
-    sample to the SAME images through every sampler once adapted."""
+    sample to the SAME images through every sampler, both via the eps
+    adapter (as_eps_model) and via the samplers' native tag_v path."""
     net = UNet(num_resnet_blocks=1, in_channel=3, out_channel=3, time_dim=8,
                cond_dim=None, num_layers=1, attn_layers=(0,), num_heads=1,
                dim_per_head=None, groups=8, min_channel=16, max_channel=16,
@@ -86,7 +91,8 @@ def test_v_model_samples_identically_to_eps_model(alg):
         return (eps_model(xx, tt, ll).astype(jnp.float32) - s * xx) / a
 
     x_T = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3), jnp.float32)
-    adapted = as_eps_model(v_model, SCHEDULE)
+    adapted = (as_eps_model(v_model, SCHEDULE) if route == "adapter"
+               else tag_v(v_model))
     if alg == "ddim":
         run = lambda f: ddim_sample(f, SCHEDULE, x_T, max_noise=20,
                                     ddim_step_size=5)
@@ -99,6 +105,70 @@ def test_v_model_samples_identically_to_eps_model(alg):
     a = np.asarray(jax.jit(lambda: run(eps_model))())
     b = np.asarray(jax.jit(lambda: run(adapted))())
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_native_v_is_well_conditioned_at_t_max():
+    """COSINE at t=T has abar ~ 2e-15 (a ~ 4e-8): the native conversion
+    x0 = a·x − s·v keeps full fp32 precision, while routing v through the
+    eps adapter and the reference's x0 = (x − s·eps)/a form cancels
+    catastrophically (s rounds to exactly 1.0, so x − s·eps loses a·v to
+    the ulp of x). This pins the reason bundles use tag_v, not the adapter.
+
+    Ground truth: the same two-visit DDIM trajectory (steps [1000, 1])
+    evaluated in float64 from the schedule's own fp32 abar values, with a
+    constant-v model so nothing self-corrects downstream."""
+    sched = CosineSchedule.create(1000)
+    rng = np.random.default_rng(7)
+    v_const = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    x_T = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+
+    def v_model(x, t, l):
+        return jnp.broadcast_to(v_const, x.shape)
+
+    run = lambda f: ddim_sample(f, sched, x_T, min_noise=1, max_noise=1000,
+                                ddim_step_size=999)
+    native = np.asarray(jax.jit(lambda: run(tag_v(v_model)))())
+    adapter = np.asarray(jax.jit(
+        lambda: run(as_eps_model(v_model, sched)))())
+
+    # float64 reference of the exact same trajectory.
+    abar_T = float(sched.alpha_bar_at(jnp.array([1000]))[0])
+    abar_1 = float(sched.alpha_bar_at(jnp.array([1]))[0])
+    x = np.asarray(x_T, np.float64)
+    v = np.asarray(v_const, np.float64)
+    a_T, s_T = np.sqrt(abar_T), np.sqrt(1.0 - abar_T)
+    a_1, s_1 = np.sqrt(abar_1), np.sqrt(1.0 - abar_1)
+    x0 = a_T * x - s_T * v
+    eps = a_T * v + s_T * x
+    x1 = a_1 * x0 + s_1 * eps
+    truth = a_1 * x1 - s_1 * v          # final visit at step 1 returns x0
+
+    native_err = float(np.max(np.abs(native - truth)))
+    adapter_err = float(np.max(np.abs(adapter - truth)))
+    assert native_err < 1e-4, native_err
+    assert adapter_err > 100 * max(native_err, 1e-6), (adapter_err,
+                                                       native_err)
+
+
+def test_cold_sampler_rejects_v_tag():
+    """cold_sample consumes x0 predictors; a tag_v model must be refused
+    loudly instead of silently mis-sampled."""
+    sched = LinearSchedule.create(5e-3, 9e-3, 1000)
+    model = tag_v(lambda x, t, l: x)
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="x0-predicting"):
+        cold_sample(model, sched, x, x, max_noise=10, skip_step_size=5)
+
+
+def test_cfg_wrapper_preserves_v_tag():
+    """Classifier-free guidance is an affine combine (weights sum to 1), so
+    it is identical in v space — the cfg wrapper must carry the tag through
+    so samplers keep converting natively."""
+    from sdm_tpu.diffusion.guidance import cfg_model_fn
+    v_fn = tag_v(lambda x, t, l: x)
+    assert getattr(cfg_model_fn(v_fn, 3.0), "model_output", "eps") == "v"
+    eps_fn = lambda x, t, l: x
+    assert getattr(cfg_model_fn(eps_fn, 3.0), "model_output", "eps") == "eps"
 
 
 @pytest.mark.parametrize("objective", [Objective.EPS, Objective.V])
@@ -147,8 +217,8 @@ def test_min_snr_gamma_weighting(objective):
 
 def test_v_objective_pipeline_train_export_generate(tmp_path):
     """Config "objective": "V" end-to-end: the loop trains (finite loss,
-    previews sample through the adapter), export tags the bundle entry, and
-    the generator consumes the tagged bundle."""
+    previews sample through the native tag_v path), export tags the bundle
+    entry, and the generator consumes the tagged bundle."""
     from sdm_tpu.train.loop import run_training, BASE_SPEC
     from sdm_tpu.cli.export_models import export_bundle
     from sdm_tpu.cli.generate_images_diffusion import (
@@ -176,8 +246,8 @@ def test_v_objective_pipeline_train_export_generate(tmp_path):
 
 
 def test_v_bundle_through_serving_engine(tmp_path):
-    """The serving engine must route V bundles through the eps adapter
-    (io/bundles.py is the shared loader): engine output == generator CLI
+    """The serving engine must consume V bundles natively (io/bundles.py,
+    the shared loader, applies tag_v): engine output == generator CLI
     output on the same V bundle, and != the raw-eps interpretation."""
     from sdm_tpu.train.loop import run_training, BASE_SPEC
     from sdm_tpu.cli.export_models import export_bundle
