@@ -73,16 +73,31 @@ def distill_target(apply_teacher: Callable, schedule,
                    u: jnp.ndarray) -> jnp.ndarray:
     """x0-space target x~ for per-sample steps (t, m, u); rows with t == u get
     the teacher's direct x0 prediction (endpoint case). Gradients are stopped —
-    the teacher is a constant."""
+    the teacher is a constant.
+
+    `apply_teacher(x, t)` returns either an eps prediction (x0 is then
+    derived by the reference form (x − s·eps)/a) or an `(eps, x0)` PAIR —
+    v-parameterized teachers pass natively computed pairs (eps = a·v + s·x,
+    x0 = a·x − s·v) so no step of the target math divides by a→0 (the same
+    t=T cosine conditioning issue diffusion/samplers.py's native tag_v path
+    fixes for sampling)."""
     x_t = x_t.astype(jnp.float32)
+
+    def _eps_x0(x, tt, a, s):
+        res = apply_teacher(x, tt)
+        if isinstance(res, tuple):
+            eps, x0 = (r.astype(jnp.float32) for r in res)
+        else:
+            eps = res.astype(jnp.float32)
+            x0 = (x - s * eps) / a
+        return eps, x0
+
     a_t, s_t = _a_s(schedule, t, x_t.ndim)
-    eps1 = apply_teacher(x_t, t).astype(jnp.float32)
-    x0_1 = (x_t - s_t * eps1) / a_t
+    eps1, x0_1 = _eps_x0(x_t, t, a_t, s_t)
 
     a_m, s_m = _a_s(schedule, m, x_t.ndim)
     x_m = a_m * x0_1 + s_m * eps1
-    eps2 = apply_teacher(x_m, m).astype(jnp.float32)
-    x0_2 = (x_m - s_m * eps2) / a_m
+    eps2, x0_2 = _eps_x0(x_m, m, a_m, s_m)
 
     a_u, s_u = _a_s(schedule, u, x_t.ndim)
     z = a_u * x0_2 + s_u * eps2
@@ -108,10 +123,11 @@ def make_distill_step(apply_fn: Callable, schedule, tx, *,
     the trainers' uint8-or-float pixel convention.
 
     objective=Objective.V distills a v-parameterized teacher into a
-    v-parameterized student: both model outputs are converted to eps at
-    their per-sample steps (diffusion/vpred.py) before the same x0-space
-    target math — checkpoints stay v-models, so the exported bundle keeps
-    its "objective": "V" tag and samples through the native tag_v path."""
+    v-parameterized student: both models' (eps, x0) are derived NATIVELY
+    from v (eps = a·v + s·x, x0 = a·x − s·v — no division by a→0) inside
+    the same x0-space target math — checkpoints stay v-models, so the
+    exported bundle keeps its "objective": "V" tag and samples through the
+    native tag_v path."""
     from sdm_tpu.enums import Objective
     v_mode = objective == Objective.V
     pairs = jnp.asarray(distill_pairs(step_list))  # (P, 3)
@@ -158,22 +174,24 @@ def make_distill_step(apply_fn: Callable, schedule, tx, *,
 
         x_t = schedule.q_sample(images, t, eps)
         if v_mode:
-            from sdm_tpu.diffusion.vpred import eps_from_v
-
+            # Native (eps, x0) pair from v — both well-conditioned at every
+            # t, like the samplers' tag_v path (diffusion/vpred.py).
             def teacher(x, tt):
-                v = apply_fn(teacher_params, _cat(x), tt, labels)
-                return eps_from_v(schedule, tt, x, v.astype(jnp.float32))
+                v = apply_fn(teacher_params, _cat(x), tt,
+                             labels).astype(jnp.float32)
+                a, s = _a_s(schedule, tt, x.ndim)
+                return a * v + s * x, a * x - s * v
         else:
             teacher = lambda x, tt: apply_fn(teacher_params, _cat(x), tt,
                                              labels)
         x_tilde = distill_target(teacher, schedule, x_t, t, m, u)
 
-        eps_hat = apply_fn(params, _cat(x_t), t, labels).astype(jnp.float32)
-        if v_mode:
-            from sdm_tpu.diffusion.vpred import eps_from_v
-            eps_hat = eps_from_v(schedule, t, x_t, eps_hat)
+        out = apply_fn(params, _cat(x_t), t, labels).astype(jnp.float32)
         a_t, s_t = _a_s(schedule, t, x_t.ndim)
-        x0_hat = (x_t - s_t * eps_hat) / a_t
+        if v_mode:
+            x0_hat = a_t * x_t - s_t * out
+        else:
+            x0_hat = (x_t - s_t * out) / a_t
 
         abar = schedule.alpha_bar_at(t).astype(jnp.float32)
         w = jnp.maximum(abar / (1.0 - abar), 1.0)          # truncated SNR

@@ -177,6 +177,60 @@ def test_v_mode_distill_step_equals_eps_mode_on_same_function():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
 
 
+def test_v_mode_distill_is_well_conditioned_at_t_max():
+    """v-mode distillation at COSINE t=T (abar ~ 2e-15): the native (eps, x0)
+    derivation must reproduce a float64 reference of the whole target/loss
+    math. The old route (v -> eps adapter, then x0 = (x − s·eps)/a) lost all
+    x0 precision here — this pins the fix, using a constant-v model so
+    nothing self-corrects."""
+    from sdm_tpu.enums import Objective
+    from sdm_tpu.train.distill import distill_pairs
+
+    schedule = make_schedule("COSINE", max_noise_step=1000)
+    rng = np.random.default_rng(9)
+    v_const = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+    images = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 3)).astype(np.float32))
+    eps_in = jnp.asarray(rng.standard_normal((2, 8, 8, 3)).astype(np.float32))
+
+    apply_v = lambda p, x, t, l: jnp.broadcast_to(v_const, x.shape)
+    import optax
+    tx = optax.sgd(1e-2)
+    step_list = ddim_step_list(1, 1000, 999)          # [1000, 1]
+    params = {"w": jnp.zeros((1,), jnp.float32)}
+    state = create_train_state(params, tx)
+    step = jax.jit(make_distill_step(apply_v, schedule, tx,
+                                     step_list=step_list,
+                                     objective=Objective.V))
+    batch = {"image": images, "row": jnp.array([0, 0], jnp.int32),
+             "eps": eps_in}
+    _, metrics = step(state, params, batch, jax.random.PRNGKey(0))
+    loss = float(metrics["loss"])
+
+    # float64 reference of the same row (t, m, u) = (1000, 500, 1), from the
+    # schedule's own fp32 abar values.
+    t_, m_, u_ = distill_pairs(step_list)[0]
+    ab = {s: float(schedule.alpha_bar_at(jnp.array([int(s)]))[0])
+          for s in (t_, m_, u_)}
+    a = {s: np.sqrt(v) for s, v in ab.items()}
+    s_ = {s: np.sqrt(1.0 - v) for s, v in ab.items()}
+    x0_np = np.asarray(images, np.float64)
+    v_np = np.asarray(v_const, np.float64)
+    x_t = a[t_] * x0_np + s_[t_] * np.asarray(eps_in, np.float64)
+    eps1 = a[t_] * v_np + s_[t_] * x_t
+    x0_1 = a[t_] * x_t - s_[t_] * v_np
+    x_m = a[m_] * x0_1 + s_[m_] * eps1
+    eps2 = a[m_] * v_np + s_[m_] * x_m
+    x0_2 = a[m_] * x_m - s_[m_] * v_np
+    z = a[u_] * x0_2 + s_[u_] * eps2
+    ratio = s_[u_] / s_[t_]
+    x_tilde = (z - ratio * x_t) / (a[u_] - ratio * a[t_])
+    x0_hat = a[t_] * x_t - s_[t_] * v_np
+    w = max(ab[t_] / (1.0 - ab[t_]), 1.0)
+    expected = float(np.mean(
+        w * np.mean((x0_hat - x_tilde) ** 2, axis=(1, 2, 3))))
+    np.testing.assert_allclose(loss, expected, rtol=1e-4)
+
+
 def test_v_teacher_distillation_runs(tmp_path):
     """run_distillation on a v-trained checkpoint (config objective V): one
     phase runs with finite losses and writes a student checkpoint that
