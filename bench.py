@@ -77,8 +77,7 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
         # solver; tests/test_dpm_solver.py + test_convergence.py).
         n_calls = 11
 
-        @jax.jit
-        def sample(p, x_t):
+        def sample_body(p, x_t):
             return dpmpp_sample(model_fn_factory(p), schedule, x_t,
                                 min_noise=1, max_noise=1000, step_size=100)
     else:
@@ -90,11 +89,23 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
         # measured here is exactly what a distilled checkpoint serves at.
         n_calls = len(ddim_step_list(1, 1000, step_size))
 
-        @jax.jit
-        def sample(p, x_t):
+        def sample_body(p, x_t):
             return ddim_sample(model_fn_factory(p), schedule, x_t,
                                min_noise=1, max_noise=1000,
                                ddim_step_size=step_size)
+
+    # Device-side repeats: the timed region is ONE jitted call containing a
+    # lax.scan that chains `repeats` full trajectories (each consumes the
+    # previous result), fetched once — the only timing this platform honors
+    # (CLAUDE.md). The previous form chained `repeats` separate jit calls;
+    # each dispatch pays a ~60-100 ms tunnel RTT here, which is noise behind
+    # a 51-call DDIM-50 repetition but was ~15-20% of a 2-call distilled
+    # one — it under-reported the distill1/2/4 device throughput.
+    @jax.jit
+    def sample_reps(p, x0):
+        x, _ = jax.lax.scan(lambda x, _: (sample_body(p, x), None),
+                            x0, None, length=repeats)
+        return x
 
     x_t = jax.random.normal(jax.random.PRNGKey(1), (batch, 128, 128, 3),
                             jnp.float32)
@@ -107,17 +118,9 @@ def bench_ddim50(batch: int, use_pallas: bool, repeats: int = 3,
     ).lower(params, x_t).compile()
     call_flops = compiled_cost_flops(one_call)
     flops = call_flops * n_calls if call_flops else None
-    np.asarray(sample(params, x_t))  # compile + warmup
-    # Chain repeats through the output (each rep consumes the previous
-    # trajectory's result) and fetch once at the end: block_until_ready()
-    # can return early on this platform (CLAUDE.md), so only a device_get
-    # is trustworthy — and chaining keeps the timed region free of host
-    # transfers, measuring pure device throughput.
+    np.asarray(sample_reps(params, x_t))  # compile + warmup
     t0 = time.perf_counter()
-    x = x_t
-    for _ in range(repeats):
-        x = sample(params, x)
-    np.asarray(x)
+    np.asarray(sample_reps(params, x_t))
     dt = (time.perf_counter() - t0) / repeats
     return batch / dt, (flops / dt if flops else None)  # img/s, FLOP/s
 
@@ -586,7 +589,9 @@ def main():
         # calls (the grid always appends the final step-1 x0 call).
         step_size = {"distill1": 1000, "distill2": 500,
                      "distill4": 250}.get(args.metric, 20)
-        repeats = 10 if args.metric.startswith("distill") else 3
+        # More repeats for the cheap distilled grids: the single dispatch's
+        # tunnel RTT amortizes to <1% of the timed window.
+        repeats = 20 if args.metric.startswith("distill") else 3
         value, flop_rate = bench_ddim50(batch, args.pallas, sampler=sampler,
                                         step_size=step_size, repeats=repeats)
         print(json.dumps({
