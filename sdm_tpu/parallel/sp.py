@@ -1,0 +1,93 @@
+"""Spatial partitioning (SP): shard activations along the image H axis.
+
+The reference is single-device (SURVEY.md §2.10); DP/TP/FSDP (mesh.py, tp.py,
+fsdp.py) shard batch rows and weights — none of them shrinks the *per-sample*
+activation footprint, which is exactly what blocks 256² SR training at large
+batch (BASELINE.md: the residual peak is 2.1 GB/tensor full-res conv
+activations). SP is the TPU-native answer: a "space" mesh axis over which the
+H dimension of every image tensor is sharded, so each chip holds an H/sp
+slab of every activation. We only annotate the *input* sharding
+(P("data", "space") on (N, H, W, C) batches); XLA's SPMD partitioner
+propagates it through the whole U-Net, inserting halo exchanges
+(collective-permute of the 1-row borders each 3×3 conv needs), cross-shard
+GroupNorm reductions, and attention-token gathers automatically — the GSPMD
+spatial-partitioning recipe, with numerics unchanged by construction
+(asserted vs the single-device step in tests/test_sp.py; measured there:
+per-device activation temp shrinks ~3.7× at sp=4).
+
+This is the "sequence parallelism" of a conv net: the image plane is the
+sequence. Enable via config `"sp": <int>` (train loop); composes with DP on
+the leading mesh axis and with FSDP (state sharded over "data" as usual).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_dp_sp_mesh(dp: int, sp: int, devices=None) -> Mesh:
+    """2-D ("data", "space") mesh: batch rows shard over dp, image H over sp."""
+    devices = np.asarray(devices if devices is not None
+                         else jax.devices()[:dp * sp])
+    if devices.size != dp * sp:
+        raise ValueError(f"need {dp * sp} devices, have {devices.size}")
+    return Mesh(devices.reshape(dp, sp), ("data", "space"))
+
+
+def spatial_batch_spec(ndim: int, *, leading_stack: bool = False,
+                       data_axis: str = "data",
+                       space_axis: str = "space") -> P:
+    """PartitionSpec for one batch array.
+
+    Image tensors (N, H, W, C) shard batch on `data_axis` and H on
+    `space_axis`; non-spatial arrays (labels (N, D), scalars) shard batch
+    only. `leading_stack` marks grad-accum stacks (A, N, ...) whose axis 0
+    is walked by the step's lax.scan and must stay unsharded.
+    """
+    body = ndim - (1 if leading_stack else 0)
+    spec = [data_axis, space_axis] if body >= 4 else (
+        [data_axis] if body >= 1 else [])
+    if leading_stack:
+        spec = [None] + spec
+    return P(*spec)
+
+
+def validate_spatial_divisibility(shape, sp: int, *, name: str = "image",
+                                  leading_stack: bool = False) -> None:
+    """H (and the deepest feature map's H) must divide over the space axis.
+
+    GSPMD stays *correct* for non-divisible shards (it pads), but the halo
+    logic then moves whole padded slabs — fail fast instead, like the batch/
+    devices divisibility check (mesh.py).
+    """
+    ndim = len(shape) - (1 if leading_stack else 0)
+    if ndim < 4:
+        return
+    h = shape[-3]
+    if h % sp:
+        raise ValueError(
+            f'"{name}" height {h} must be divisible by sp={sp}')
+
+
+def sp_batch_shardings(batch: dict, mesh: Mesh, *, sp: int,
+                       leading_stack: bool = False) -> dict:
+    """NamedShardings for a host batch dict under SP (validated)."""
+    out = {}
+    for k, v in batch.items():
+        validate_spatial_divisibility(np.shape(v), sp, name=k,
+                                      leading_stack=leading_stack)
+        out[k] = NamedSharding(mesh, spatial_batch_spec(
+            np.ndim(v), leading_stack=leading_stack))
+    return out
+
+
+def put_batch_sp(batch: dict, mesh: Mesh, *, sp: int,
+                 leading_stack: bool = False) -> dict:
+    """Device-put a host batch with DP×SP sharding."""
+    shardings = sp_batch_shardings(batch, mesh, sp=sp,
+                                   leading_stack=leading_stack)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

@@ -360,9 +360,18 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
     # ---- Mesh & sharding ----
     from sdm_tpu.parallel.mesh import auto_data_mesh
+    # Spatial partitioning (config "sp", default 1 = off): image H sharded
+    # over a second "space" mesh axis so per-sample activation memory drops
+    # ~sp per chip — the lever for huge-resolution training (parallel/sp.py).
+    sp = int(config_dict.get("sp", 1))
+    if sp < 1:
+        raise ValueError(f'"sp" must be >= 1, got {sp}')
     if multi:
         # All processes run one SPMD program: the mesh must span every
         # global device, and the global batch must divide across them.
+        if sp > 1:
+            raise ValueError('"sp" and "multihost" cannot be combined yet; '
+                             "spatially partition within each host instead")
         n_total = len(jax.devices())
         if num_devices is not None and num_devices != n_total:
             raise ValueError(
@@ -372,6 +381,19 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 f"global microbatch {micro_batch} must be divisible by "
                 f"{n_total} devices")
         mesh = make_mesh(n_total)
+    elif sp > 1:
+        from sdm_tpu.parallel.sp import make_dp_sp_mesh
+        n_total = (num_devices if num_devices is not None
+                   else len(jax.devices()))
+        if n_total % sp:
+            raise ValueError(
+                f"sp={sp} must divide the device count {n_total}")
+        dp = n_total // sp
+        if micro_batch % dp:
+            raise ValueError(
+                f"microbatch {micro_batch} must be divisible by the data-"
+                f"axis size {dp} ({n_total} devices / sp={sp})")
+        mesh = make_dp_sp_mesh(dp, sp)
     else:
         mesh = auto_data_mesh(micro_batch, num_devices)
     n_dev = mesh.devices.size
@@ -457,6 +479,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     logging.info(f"Using Conditional Info.: {use_conditional}")
     logging.info(f"Image Augmentation (Random Horizontal Flip): {flip_imgs}")
     logging.info(f"Devices (data mesh): {n_dev}"
+                 + (f" [spatial partitioning sp={sp}]" if sp > 1 else "")
                  + (" [FSDP state sharding]" if fsdp_on else ""))
     logging.info(f"Compute dtype: {compute_dtype or jnp.float32}")
     if spec.is_sr:
@@ -685,6 +708,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                                        + v.shape[1:])
                           for k, v in arrays.items()}
                 spec_p = P(None, "data")
+            if sp > 1:
+                from sdm_tpu.parallel.sp import put_batch_sp
+                return put_batch_sp(arrays, mesh, sp=sp,
+                                    leading_stack=grad_accum > 1)
             if multi:
                 return mh.put_global_batch(arrays, mesh, spec=spec_p)
             if spec_p is not None:
