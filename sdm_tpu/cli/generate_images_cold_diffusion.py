@@ -59,6 +59,13 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
     parser.add_argument("--use-ema", action="store_true",
                         help="Sample from the EMA weights stored in the "
                              "checkpoint (training config \"ema_decay\").")
+    parser.add_argument("--sp", type=int, default=1, metavar="N",
+                        help="Spatial partitioning (TPU-build extension): "
+                             "shard the image H axis over N devices so every "
+                             "U-Net activation lives as an H/N slab per chip "
+                             "— samples huge images that exceed one chip's "
+                             "memory (batch rows shard over the remaining "
+                             "devices).")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -85,11 +92,9 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
 
     models_details, folder = load_bundle_config(args["config"])
 
-    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
-    mesh = auto_data_mesh(args["num_images"], args["num_devices"])
-    dp_sharding = batch_sharding(mesh)
-    def dp(x):
-        return jax.device_put(x, dp_sharding) if x is not None else None
+    from sdm_tpu.parallel.sp import sampling_put_fn
+    mesh, dp = sampling_put_fn(args["num_images"], args["num_devices"],
+                               args["sp"])
 
     noise = None
     x0_approx = None

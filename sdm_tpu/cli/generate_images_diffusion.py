@@ -118,6 +118,14 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
     parser.add_argument("--use-ema", action="store_true",
                         help="Sample from the EMA weights stored in the "
                              "checkpoint (training config \"ema_decay\").")
+    parser.add_argument("--sp", type=int, default=1, metavar="N",
+                        help="Spatial partitioning (TPU-build extension): "
+                             "shard the image H axis over N devices so every "
+                             "U-Net activation lives as an H/N slab per chip "
+                             "— samples huge images that exceed one chip's "
+                             "memory (batch rows shard over the remaining "
+                             "devices). Composable with --num-devices "
+                             "(which must then be a multiple of N).")
     parser.add_argument("--pipeline", type=int, default=None, metavar="M",
                         help="Pipeline-parallel ensemble sampling: place "
                              "each bundle model on its own device and stream "
@@ -181,17 +189,18 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         if args["num_devices"] and args["num_devices"] > 1:
             raise ValueError("--pipeline and --num-devices data parallelism "
                              "are mutually exclusive")
+        if args["sp"] > 1:
+            raise ValueError("--pipeline and --sp spatial partitioning "
+                             "are mutually exclusive")
         if len(models_details["models"]) < 2:
             raise ValueError("--pipeline needs a multi-model (ensemble) "
                              "bundle; single-model bundles gain nothing")
         return _pipeline_generate(args, models_details, folder, rng,
                                   cond_img, out_dir, log, save_locally)
 
-    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
-    mesh = auto_data_mesh(args["num_images"], args["num_devices"])
-    dp_sharding = batch_sharding(mesh)
-    def dp(x):
-        return jax.device_put(x, dp_sharding) if x is not None else None
+    from sdm_tpu.parallel.sp import sampling_put_fn
+    mesh, dp = sampling_put_fn(args["num_images"], args["num_devices"],
+                               args["sp"])
 
     # img2img (SDEdit-style): validate + load the init image up front.
     init_img = None

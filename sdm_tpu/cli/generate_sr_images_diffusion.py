@@ -66,6 +66,14 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
     parser.add_argument("--use-ema", action="store_true",
                         help="Sample from the EMA weights stored in the "
                              "checkpoint (training config \"ema_decay\").")
+    parser.add_argument("--sp", type=int, default=1, metavar="N",
+                        help="Spatial partitioning (TPU-build extension): "
+                             "shard the image H axis over N devices so every "
+                             "U-Net activation lives as an H/N slab per chip. "
+                             "SR runs at batch 1 — the one case plain data "
+                             "parallelism cannot split, and output "
+                             "resolutions beyond one chip's memory need "
+                             "exactly this.")
     args = vars(parser.parse_args(raw_args))
     if args["device"] == "cpu":
         # Honor the reference's --device cpu; "cuda"/"tpu" mean
@@ -105,11 +113,8 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
 
     models_details, folder = load_bundle_config(args["config"])
 
-    from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
-    mesh = auto_data_mesh(1, args["num_devices"])
-    dp_sharding = batch_sharding(mesh)
-    def dp(x):
-        return jax.device_put(x, dp_sharding) if x is not None else None
+    from sdm_tpu.parallel.sp import sampling_put_fn
+    mesh, dp = sampling_put_fn(1, args["num_devices"], args["sp"])
 
     noise = None
     x0_approx_delta = None

@@ -91,3 +91,62 @@ def put_batch_sp(batch: dict, mesh: Mesh, *, sp: int,
     shardings = sp_batch_shardings(batch, mesh, sp=sp,
                                    leading_stack=leading_stack)
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def auto_dp_sp_mesh(batch_size: int, num_devices: Optional[int],
+                    sp: int, devices=None) -> Mesh:
+    """DP×SP mesh for sampling: the SP analogue of mesh.auto_data_mesh.
+
+    With `num_devices` given, dp = num_devices / sp (must divide); otherwise
+    dp is the largest count dividing batch_size such that dp·sp devices are
+    available — sp=anything with batch_size=1 gives dp=1, the
+    single-huge-image case DP cannot serve at all.
+    """
+    if sp < 1:
+        raise ValueError(f"sp must be >= 1, got {sp}")
+    avail = len(devices) if devices is not None else len(jax.devices())
+    if num_devices is not None:
+        if num_devices % sp:
+            raise ValueError(
+                f"--num-devices {num_devices} must be divisible by sp={sp}")
+        dp = num_devices // sp
+    else:
+        if avail < sp:
+            raise ValueError(f"sp={sp} needs {sp} devices, have {avail}")
+        dp = max(d for d in range(1, avail // sp + 1) if batch_size % d == 0)
+    if batch_size % dp:
+        raise ValueError(
+            f"batch size {batch_size} must be divisible by the data-axis "
+            f"size {dp}")
+    return make_dp_sp_mesh(dp, sp, devices=(
+        None if devices is None else devices[:dp * sp]))
+
+
+def sampling_put_fn(batch_size: int, num_devices: Optional[int], sp: int):
+    """(mesh, put) for the generator CLIs.
+
+    sp == 1 reproduces the existing data-parallel sampling path exactly
+    (mesh.auto_data_mesh + batch sharding). sp > 1 builds a (data, space)
+    mesh and `put` shards image tensors (ndim >= 4) over batch AND H —
+    sampling one huge image then spreads every U-Net activation as H/sp
+    slabs across chips, the case plain DP (batch rows) cannot split.
+    H-divisibility is validated per array.
+    """
+    if sp <= 1:
+        from sdm_tpu.parallel.mesh import auto_data_mesh, batch_sharding
+        mesh = auto_data_mesh(batch_size, num_devices)
+        sharding = batch_sharding(mesh)
+
+        def put(x):
+            return jax.device_put(x, sharding) if x is not None else None
+        return mesh, put
+
+    mesh = auto_dp_sp_mesh(batch_size, num_devices, sp)
+
+    def put(x):
+        if x is None:
+            return None
+        validate_spatial_divisibility(np.shape(x), sp)
+        return jax.device_put(
+            x, NamedSharding(mesh, spatial_batch_spec(np.ndim(x))))
+    return mesh, put

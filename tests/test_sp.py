@@ -197,6 +197,104 @@ def test_sp_through_training_loop(tmp_path):
                                    rtol=1e-3, atol=2.5e-4, err_msg=k)
 
 
+def test_sp_generator_matches_single_device(tmp_path):
+    """--sp 4 sampling (image H sharded over the space axis, batch over
+    data) must reproduce the default run: same seed, deterministic DDIM."""
+    import os
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_images_diffusion import generate_images_diffusion
+    from tests.test_generation import _save_ref_ckpt, _train_cfg
+
+    _, p = _save_ref_ckpt(tmp_path, "spgen.pt", seed=21)
+    bundle = export_bundle("spmodel", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(1, 10), p)])
+    config = os.path.join(bundle, "config.json")
+    common = ["-c", config, "-n", "8", "--diff_alg", "ddim",
+              "--ddim_step_size", "4", "-s", "123"]
+    out1 = generate_images_diffusion(common, save_locally=False,
+                                     log=lambda *a, **k: None)
+    out_sp = generate_images_diffusion(common + ["--sp", "4"],
+                                       save_locally=False,
+                                       log=lambda *a, **k: None)
+    # Spatial shards split GroupNorm reductions, so summation order drifts
+    # at fp32 epsilon scale (the training tests carry the same band).
+    np.testing.assert_allclose(out_sp, out1, rtol=1e-4, atol=1e-5)
+
+
+def test_sp_sr_generator_single_image(tmp_path):
+    """SR generation runs at batch 1 — the case DP cannot split at all;
+    --sp 4 must shard H and reproduce the single-device cascade."""
+    import os
+    import torch
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_sr_images_diffusion import (
+        generate_sr_images_diffusion)
+    from tests.test_generation import MODEL_CFG, REF
+
+    torch.manual_seed(22)
+    net = REF.U_Net(
+        in_channel=6, out_channel=3, num_layers=2, num_resnet_blocks=1,
+        attn_layers=[1], num_heads=1, dim_per_head=None, time_dim=16,
+        cond_dim=None, min_channel=32, max_channel=64, image_recon=True)
+    p = str(tmp_path / "spsr.pt")
+    torch.save({"model": net.state_dict()}, p)
+    cfg = dict(MODEL_CFG, in_channel=6, img_recon=True, min_noise_step=1,
+               max_noise_step=10, noise_scheduler="LINEAR", beta1=5e-3,
+               betaT=9e-3, cond_t=5)
+    bundle = export_bundle("spsr", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="SR", entries=[(cfg, p)])
+    config = os.path.join(bundle, "config.json")
+    lr_img_u8 = np.random.default_rng(3).integers(
+        0, 256, (8, 8, 3), dtype=np.uint8)
+
+    common = ["-c", config, "--cold_step_size", "4", "-s", "55"]
+    out1 = generate_sr_images_diffusion(
+        common, lr_img=lr_img_u8, save_locally=False,
+        log=lambda *a, **k: None)
+    out_sp = generate_sr_images_diffusion(
+        common + ["--sp", "4"], lr_img=lr_img_u8, save_locally=False,
+        log=lambda *a, **k: None)
+    np.testing.assert_allclose(out_sp, out1, rtol=1e-4, atol=1e-5)
+
+
+def test_sp_sampling_validation():
+    from sdm_tpu.parallel.sp import auto_dp_sp_mesh, sampling_put_fn
+
+    # dp sized to divide the batch within the device budget.
+    mesh = auto_dp_sp_mesh(8, None, 4)
+    assert mesh.shape == {"data": 2, "space": 4}
+    mesh = auto_dp_sp_mesh(1, None, 8)       # single huge image
+    assert mesh.shape == {"data": 1, "space": 8}
+    with pytest.raises(ValueError, match="divisible by sp"):
+        auto_dp_sp_mesh(8, 6, 4)
+
+    # put validates H divisibility per array.
+    _, put = sampling_put_fn(2, None, 4)
+    with pytest.raises(ValueError, match="divisible by sp"):
+        put(np.zeros((2, 18, 16, 3), np.float32))
+
+
+def test_sp_pipeline_mutually_exclusive(tmp_path):
+    import os
+    from sdm_tpu.cli.export_models import export_bundle
+    from sdm_tpu.cli.generate_images_diffusion import generate_images_diffusion
+    from tests.test_generation import _save_ref_ckpt, _train_cfg
+
+    _, p1 = _save_ref_ckpt(tmp_path, "e1.pt", seed=23)
+    _, p2 = _save_ref_ckpt(tmp_path, "e2.pt", seed=24)
+    bundle = export_bundle("spex", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(11, 20), p1),
+                                    (_train_cfg(1, 10), p2)])
+    config = os.path.join(bundle, "config.json")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        generate_images_diffusion(
+            ["-c", config, "-n", "4", "--diff_alg", "ddim",
+             "--ddim_step_size", "4", "--pipeline", "2", "--sp", "2"],
+            save_locally=False, log=lambda *a, **k: None)
+
+
 def test_sp_loop_validation_errors(tmp_path):
     from sdm_tpu.train.loop import run_training, BASE_SPEC
     from tests.test_train_loop import _mk_images, _base_config
