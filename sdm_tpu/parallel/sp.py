@@ -18,6 +18,18 @@ per-device activation temp shrinks ~3.7× at sp=4).
 This is the "sequence parallelism" of a conv net: the image plane is the
 sequence. Enable via config `"sp": <int>` (train loop); composes with DP on
 the leading mesh axis and with FSDP (state sharded over "data" as usual).
+
+Interaction with the Pallas kernels (use_pallas "auto"/True at S>=2048):
+`kernels/partitioning.batch_partitioned` declares every non-batch dim
+need-replication, so under SP the partitioner all-gathers the token axis
+before the kernel and each space-group member computes the full attention
+redundantly — numerically correct by construction, with sp× redundant
+work on the ~6% attention share of a 256² step (BASELINE.md per-op split);
+the conv activations, which are the memory problem SP exists to solve,
+stay sharded. A space-aware kernel partition (ring attention over H) is
+the documented extension point if attention ever dominates; validating
+the gather path end-to-end needs real multi-chip hardware (the CPU
+interpret-mode kernels bypass custom_partitioning and cannot exercise it).
 """
 
 from __future__ import annotations
