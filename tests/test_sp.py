@@ -295,6 +295,28 @@ def test_sp_pipeline_mutually_exclusive(tmp_path):
             save_locally=False, log=lambda *a, **k: None)
 
 
+def test_sp_doodle_loop(tmp_path):
+    """Doodle batches carry TWO image tensors (image + cond doodle) — both
+    must shard batch+H under config "sp" and the run must stay finite."""
+    from sdm_tpu.data.tinydb_compat import write_tables
+    from sdm_tpu.train.loop import run_training, DOODLE_SPEC
+    from tests.test_train_loop import _mk_images, _base_config
+
+    paths = _mk_images(tmp_path, n=8)
+    db = tmp_path / "doodle.json"
+    write_tables(str(db), {
+        "Data": [{"filename": p, "doodle": paths[(i + 1) % len(paths)]}
+                 for i, p in enumerate(paths)],
+        "Labels": [{"labels": ["doodle"]}],
+    })
+    cfg = _base_config(tmp_path, dataset_path=str(db), in_channel=6,
+                       batch_size=8, sp=4, seed=3, max_epoch=2)
+    del cfg["flip_imgs"], cfg["use_conditional"]
+    result = run_training(DOODLE_SPEC, cfg, max_steps=2)
+    assert result["global_steps"] == 2
+    assert np.isfinite(result["last_loss"])
+
+
 def test_sp_loop_validation_errors(tmp_path):
     from sdm_tpu.train.loop import run_training, BASE_SPEC
     from tests.test_train_loop import _mk_images, _base_config
