@@ -28,6 +28,7 @@ import json
 import logging
 import os
 import pathlib
+import time
 from typing import Optional
 
 import jax
@@ -88,6 +89,19 @@ def parse_args(spec: TrainerSpec, raw_args=None) -> dict:
                         help="Stop after this many global steps (smoke runs; "
                              "default: run to max_epoch).")
     return vars(parser.parse_args(raw_args))
+
+
+def checkpoint_dominates_epoch(ckpt_seconds: float,
+                               epoch_seconds: float) -> bool:
+    """True when the epoch-end checkpoint ate more than half the epoch.
+
+    Short-epoch footgun: with a small dataset / large batch, the
+    reference-parity every-epoch checkpoint (a full device->host parameter
+    fetch + .pt write, train_diffusion.py:463-495) can dwarf the epoch's
+    compute. Only trips for checkpoints slow enough to matter (>5 s).
+    """
+    compute_s = max(epoch_seconds - ckpt_seconds, 0.0)
+    return ckpt_seconds > 5.0 and ckpt_seconds > 0.5 * max(compute_s, 1e-9)
 
 
 def run_training(spec: TrainerSpec, config_dict: dict, *,
@@ -670,8 +684,10 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     # line for step k is simply emitted one step later in wall time, and the
     # NaN guard (train_diffusion.py:354-355) fires one step late.
     overlap_loss = bool(config_dict.get("overlapped_loss_fetch", True))
+    ckpt_warned = False  # one-time short-epoch checkpoint nudge
 
     for epoch in range(starting_epoch, max_epoch):
+        epoch_t0 = time.monotonic()
         total_diffusion_loss = 0.0
         training_count = 0
         batch_iter = iter(dataloader)
@@ -792,7 +808,20 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         if ((every <= 1 or (epoch + 1) % every == 0 or stop
              or epoch + 1 == max_epoch) and not preempt["flag"]):
             # (preemption already checkpointed this exact step)
+            t_ck = time.monotonic()
             submit_checkpoint(state, epoch_rng, global_steps, with_preview=False)
+            ck_s = time.monotonic() - t_ck
+            epoch_s = time.monotonic() - epoch_t0
+            # Nudge once toward the two knobs that fix a checkpoint-dominated
+            # epoch (see checkpoint_dominates_epoch).
+            if checkpoint_dominates_epoch(ck_s, epoch_s) and not ckpt_warned:
+                ckpt_warned = True
+                logging.warning(
+                    "Epoch-end checkpoint took {:.0f}s vs {:.0f}s of epoch "
+                    "compute — epochs are short for this dataset/batch. Set "
+                    '"epoch_checkpoint_every": N and/or "async_checkpoint": '
+                    "true to stop checkpoint I/O dominating the run."
+                    .format(ck_s, max(epoch_s - ck_s, 0.0)))
         if training_count:
             avg = total_diffusion_loss / training_count
             logging.info("Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(

@@ -271,3 +271,15 @@ def test_preemption_signal_checkpoints_and_resumes(tmp_path):
     result2 = run_training(BASE_SPEC, cfg2, max_steps=steps + 2)
     assert result2["global_steps"] == steps + 2
     assert result2["preempted"] is False
+
+
+def test_checkpoint_dominates_epoch_predicate():
+    from sdm_tpu.train.loop import checkpoint_dominates_epoch
+    # Slow checkpoint vs a short epoch: nudge.
+    assert checkpoint_dominates_epoch(30.0, 40.0)
+    # Fast checkpoint never nudges, even if the epoch is trivially short.
+    assert not checkpoint_dominates_epoch(2.0, 2.5)
+    # Long epoch dominated by compute: no nudge.
+    assert not checkpoint_dominates_epoch(30.0, 600.0)
+    # Degenerate timing (checkpoint >= measured epoch) still nudges.
+    assert checkpoint_dominates_epoch(10.0, 10.0)
