@@ -14,7 +14,11 @@ tests/test_fsdp.py against the single-device step.
 
 Composes with tensor parallelism: `extend_spec` only claims dimensions the
 TP sharding (parallel/tp.py) left unsharded, so a 2-D ("data", "model") mesh
-can run dp+tp+fsdp together (exercised by the driver dryrun).
+can run dp+tp+fsdp together (exercised by the driver dryrun). Composes with
+multi-host DP too: checkpoint/preview I/O all-gathers the sharded state back
+to the replicated layout as a collective every process runs (train/loop.py
+submit_checkpoint), then process 0 saves from its local copy — pinned by the
+2-process test in tests/test_multihost.py.
 
 Enable via config `"fsdp": true` (train loop) — default off keeps the
 replicated parity behavior.

@@ -420,12 +420,6 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     fsdp_on = bool(config_dict.get("fsdp", False)) and n_dev > 1
     state_shardings = None
     if fsdp_on:
-        if multi:
-            # Checkpoint/preview I/O localizes state to process 0, which
-            # needs fully-addressable arrays; cross-host FSDP would require
-            # a gather step we don't carry until real pod hardware exists.
-            raise ValueError('"fsdp" and "multihost" cannot be combined yet;'
-                             " shard within each host's devices instead")
         from sdm_tpu.parallel.fsdp import shard_state_fsdp
         state, state_shardings = shard_state_fsdp(
             state, mesh,
@@ -472,6 +466,13 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         min_snr_gamma=(
                             float(config_dict["min_snr_gamma"])
                             if config_dict.get("min_snr_gamma") is not None
+                            else None),
+                        # Gradient clipping (config "grad_clip_norm", TPU-
+                        # build extension; default None = the reference's
+                        # unclipped updates).
+                        grad_clip_norm=(
+                            float(config_dict["grad_clip_norm"])
+                            if config_dict.get("grad_clip_norm") is not None
                             else None)),
         donate_argnums=(0,), **jit_kwargs)
 
@@ -605,7 +606,23 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     async_ckpt = bool(config_dict.get("async_checkpoint", False))
     ckpt_worker = {"thread": None}
 
+    # Cross-host FSDP checkpointing: sharded leaves span hosts, so process 0
+    # cannot read them directly. Every process first runs this collective
+    # all-gather reshard back to the replicated layout (GSPMD turns the
+    # sharding change into all-gathers over ICI/DCN); afterwards each process
+    # holds a fully-addressable copy and the process-0-only I/O below works
+    # unchanged. NOTE: because this is a collective, a preemption-triggered
+    # checkpoint needs the signal delivered to EVERY host — which TPU
+    # maintenance events do — or the gather would wait forever.
+    gather_replicated = None
+    if fsdp_on and multi:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        _rep = jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
+        gather_replicated = jax.jit(lambda s: s, out_shardings=_rep)
+
     def submit_checkpoint(state, rng_key, steps, with_preview=True):
+        if gather_replicated is not None:
+            state = gather_replicated(state)
         if not is_main:
             return  # params are replicated; process 0 owns all host I/O
         if multi:

@@ -24,11 +24,23 @@ DRIVER = textwrap.dedent("""
     import jax
     jax.config.update("jax_platforms", "cpu")
     from sdm_tpu.train.loop import run_training, BASE_SPEC
-    from sdm_tpu.parallel.multihost import localize
 
     cfg = json.load(open(sys.argv[1]))
     res = run_training(BASE_SPEC, cfg, max_steps=2)
-    leaves = jax.tree.leaves(localize(res["state"].params))
+    params = res["state"].params
+    leaves = jax.tree.leaves(params)
+    if any(not x.is_fully_replicated for x in leaves):
+        # FSDP run: report the sharded footprint, then all-gather back to
+        # the replicated layout (same collective the checkpoint path runs)
+        # so the host can read every leaf.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from sdm_tpu.parallel.fsdp import state_bytes_per_device
+        total_b = sum(x.nbytes for x in leaves)
+        print(f"SHARDFRAC {state_bytes_per_device(params) / total_b:.4f}")
+        mesh = leaves[0].sharding.mesh
+        rep = jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+        params = jax.jit(lambda t: t, out_shardings=rep)(params)
+    leaves = jax.tree.leaves(jax.tree.map(np.asarray, params))
     total = float(sum(np.float64(np.sum(np.asarray(x, np.float64)))
                       for x in leaves))
     print(f"PARAMSUM {total:.10e}")
@@ -45,15 +57,15 @@ def _free_port():
     return port
 
 
-def test_two_process_training(tmp_path):
+def _base_cfg(tmp_path):
     import cv2
     rng = np.random.default_rng(0)
-    (tmp_path / "imgs").mkdir()
-    for i in range(8):
-        cv2.imwrite(str(tmp_path / "imgs" / f"im_{i}.png"),
-                    rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
-
-    cfg = dict(
+    if not (tmp_path / "imgs").exists():
+        (tmp_path / "imgs").mkdir()
+        for i in range(8):
+            cv2.imwrite(str(tmp_path / "imgs" / f"im_{i}.png"),
+                        rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+    return dict(
         dataset_path=str(tmp_path / "imgs" / "*.png"),
         use_conditional=False, cond_dim=None,
         out_dir=str(tmp_path / "out"),
@@ -70,6 +82,9 @@ def test_two_process_training(tmp_path):
         time_dim=8, min_channel=32, max_channel=32, img_recon=False,
         compute_dtype="float32", seed=0,
     )
+
+
+def _run_two_procs(tmp_path, cfg):
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
     driver = tmp_path / "driver.py"
@@ -97,14 +112,45 @@ def test_two_process_training(tmp_path):
         out, err = p.communicate(timeout=900)
         assert p.returncode == 0, f"proc failed:\n{out}\n{err[-3000:]}"
         outs.append(out)
+    return outs
 
-    def grab(out, key):
-        return [l.split()[1] for l in out.splitlines() if l.startswith(key)][0]
 
-    sums = [grab(o, "PARAMSUM") for o in outs]
+def _grab(out, key):
+    return [l.split()[1] for l in out.splitlines() if l.startswith(key)][0]
+
+
+def _assert_common(tmp_path, outs):
+    sums = [_grab(o, "PARAMSUM") for o in outs]
     assert sums[0] == sums[1], f"replicated params diverged: {sums}"
-    assert all(np.isfinite(float(grab(o, "LOSS"))) for o in outs)
-    assert all(grab(o, "STEPS") == "2" for o in outs)
-
+    assert all(np.isfinite(float(_grab(o, "LOSS"))) for o in outs)
+    assert all(_grab(o, "STEPS") == "2" for o in outs)
     # Process 0 wrote reference-format checkpoints; process 1 wrote nothing.
     assert glob.glob(str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt"))
+
+
+def test_two_process_training(tmp_path):
+    outs = _run_two_procs(tmp_path, _base_cfg(tmp_path))
+    _assert_common(tmp_path, outs)
+    assert "SHARDFRAC" not in outs[0]
+
+
+def test_two_process_fsdp_training(tmp_path):
+    # FSDP over a cross-host 4-device mesh: the checkpoint path must
+    # all-gather the sharded state before process-0 I/O (train/loop.py
+    # submit_checkpoint). fsdp_min_size is lowered so the tiny test model's
+    # leaves actually shard.
+    cfg = _base_cfg(tmp_path)
+    cfg.update(fsdp=True, fsdp_min_size=1024)
+    outs = _run_two_procs(tmp_path, cfg)
+    _assert_common(tmp_path, outs)
+    # The state really was sharded (per-device footprint well under the
+    # whole-state bytes), on both processes.
+    fracs = [float(_grab(o, "SHARDFRAC")) for o in outs]
+    assert all(f < 0.7 for f in fracs), fracs
+    # The checkpoint process 0 wrote is a complete, reference-format state.
+    import torch
+    pt = sorted(glob.glob(
+        str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))[-1]
+    sd = torch.load(pt, map_location="cpu", weights_only=False)
+    assert "model" in sd and all(
+        np.isfinite(v.numpy()).all() for v in sd["model"].values())
