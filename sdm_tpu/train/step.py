@@ -107,7 +107,8 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
                     grad_accum_steps: int = 1,
                     cfg_drop_prob: float = 0.0,
                     ema_decay: Optional[float] = None,
-                    min_snr_gamma: Optional[float] = None) -> Callable:
+                    min_snr_gamma: Optional[float] = None,
+                    grad_clip_norm: Optional[float] = None) -> Callable:
     """Build the fused train step.
 
     apply_fn(params, x, t, labels) -> model output.
@@ -137,6 +138,14 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
         space is min(SNR,g)/SNR for EPS, min(SNR,g)/(SNR+1) for V, and
         min(SNR,g) for X0/RESIDUAL_X0. None (default) keeps the reference's
         uniform MSE.
+      grad_clip_norm — clip the (accumulated, psum'd) gradient to this
+        global L2 norm before the Adam update. Applied to the gradient
+        directly rather than via optax.chain so the optimizer state keeps
+        the plain-Adam structure torch checkpoints interop with. Motivation:
+        at lr >= ~1e-4 with Adam(0.5, 0.999) in bf16 the flagship U-Net can
+        hit a rare loss spike that poisons the moments and diverges
+        (observed on the shapes converged-run demo, QUALITY.md); one bounded
+        update instead of a 1e6-scale one keeps training on track.
     """
     if objective == Objective.RESIDUAL_X0:
         if cond_t is None or lr_dim is None:
@@ -246,6 +255,11 @@ def make_train_step(apply_fn: Callable, schedule, tx: optax.GradientTransformati
             grads = jax.tree.map(lambda x: x / grad_accum_steps, g_sum)
             loss = l_sum / grad_accum_steps
 
+        if grad_clip_norm is not None:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(
+                1.0, jnp.float32(grad_clip_norm) / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = state.ema_params

@@ -283,3 +283,12 @@ def test_checkpoint_dominates_epoch_predicate():
     assert not checkpoint_dominates_epoch(30.0, 600.0)
     # Degenerate timing (checkpoint >= measured epoch) still nudges.
     assert checkpoint_dominates_epoch(10.0, 10.0)
+
+
+def test_training_with_grad_clip_norm(tmp_path):
+    """Config grad_clip_norm (clipped updates) through the full loop."""
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, grad_clip_norm=1.0, checkpoint_steps=1000)
+    result = run_training(BASE_SPEC, cfg, max_steps=3)
+    assert result["global_steps"] == 3
+    assert np.isfinite(result["last_loss"])

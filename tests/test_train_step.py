@@ -396,3 +396,59 @@ def test_remat_unet_matches_plain_forward_and_grads():
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_grad_clip_norm_scales_large_gradients():
+    """grad_clip_norm (TPU-build extension, default off): the update equals
+    plain Adam fed the gradient rescaled to the clip norm when its global
+    norm exceeds the threshold, and is untouched below it."""
+    _, _, _, sched, params, tx, apply_fn = _setup()
+    params = jax.tree.map(jnp.asarray, params)
+    rng = np.random.default_rng(3)
+    batch = {
+        "image": jnp.asarray(
+            rng.standard_normal((4, 8, 8, 3)).astype(np.float32)),
+        "t": jnp.asarray([2, 400, 700, 990], dtype=jnp.int32),
+        "eps": jnp.asarray(
+            rng.standard_normal((4, 8, 8, 3)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(0)
+
+    def run(clip):
+        step = make_train_step(apply_fn, sched, tx, objective=Objective.EPS,
+                               flip_imgs=False, grad_clip_norm=clip)
+        state, m = jax.jit(step)(create_train_state(params, tx), batch, key)
+        return state, m
+
+    # Reference gradient norm of this setup.
+    import optax
+    from sdm_tpu.train.step import make_train_step as _mts  # noqa: F401
+    loss_fn = lambda p: jnp.mean(jnp.square(
+        apply_fn(p, sched.q_sample(batch["image"], batch["t"], batch["eps"]),
+                 batch["t"], None).astype(jnp.float32) - batch["eps"]))
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > 0
+
+    # A clip ABOVE the actual norm is a no-op: bit-identical params.
+    s_plain, _ = run(None)
+    s_loose, _ = run(gnorm * 10.0)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_loose.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A clip BELOW the norm equals Adam fed grads * (clip / gnorm).
+    clip = gnorm / 4.0
+    s_tight, _ = run(clip)
+    scaled = jax.tree.map(lambda g: g * (clip / gnorm), grads)
+    updates, _ = tx.update(scaled, tx.init(params), params)
+    expected = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree.leaves(s_tight.params),
+                    jax.tree.leaves(expected)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-6)
+    # And clipping visibly changed the step vs the unclipped baseline.
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(s_tight.params),
+                             jax.tree.leaves(s_plain.params))]
+    assert max(diffs) > 1e-4
