@@ -66,15 +66,27 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                         help="File path to save images generated (Default: ./plots).")
     parser.add_argument("--diff_alg", default="ddpm",
                         choices=[a.name.lower() for a in DiffusionAlg]
-                        + ["dpmpp"],
+                        + ["dpmpp", "heun"],
                         help="Diffusion Sampling Algorithm to use (default: "
                              "ddpm). dpmpp = DPM-Solver++(2M), a 2nd-order "
                              "ODE solver (TPU-build extension): same models "
                              "and bundles, an order less discretization "
                              "error per step than ddim — ~10 steps reach "
-                             "ddim-50 quality, ~5x sampling throughput.")
+                             "ddim-50 quality, ~5x sampling throughput. "
+                             "heun = Karras et al. 2022 predictor-corrector "
+                             "(2nd-order, two model calls per step, no "
+                             "multistep history — robust on short or "
+                             "--karras-spaced step lists).")
     parser.add_argument("--ddim_step_size", default=10, type=int,
-                        help="Number of steps to skip when using ddim/dpmpp.")
+                        help="Number of steps to skip when using "
+                             "ddim/dpmpp/heun.")
+    parser.add_argument("--karras", action="store_true",
+                        help="Karras rho-7 step spacing (TPU-build "
+                             "extension) for ddim/dpmpp/heun: same number "
+                             "of steps as the uniform skip list, "
+                             "concentrated at low noise where trajectory "
+                             "curvature lives — better quality at few "
+                             "steps.")
     parser.add_argument("-T", "--max_T", default=1_000, type=int,
                         help="Max T value for noise scheduling (In cases of Ensemble methods).")
     parser.add_argument("--cond_img_path", type=pathlib.Path, default=None,
@@ -158,9 +170,11 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 "Invalid destination path, kindly correct and ensure it exists!")
         out_dir = str(args["dest_path"])
 
-    if args["diff_alg"] in (DiffusionAlg.DDIM.name.lower(), "dpmpp"):
+    if args["diff_alg"] in (DiffusionAlg.DDIM.name.lower(), "dpmpp", "heun"):
         if args["ddim_step_size"] < 0 or args["ddim_step_size"] > args["max_T"]:
             raise ValueError("Invalid step size for DDIM!")
+    elif args["karras"]:
+        raise ValueError("--karras applies to --diff_alg ddim/dpmpp/heun")
 
     cond_img_path = args["cond_img_path"]
     if cond_img_path is not None:
@@ -324,6 +338,14 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
 
         # params travel as a jit argument (not a closure) so the compiled
         # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
+        kst = None
+        if args["karras"]:
+            from sdm_tpu.diffusion.samplers import (ddim_step_list,
+                                                    karras_step_list)
+            n_st = len(ddim_step_list(model_dict["min_noise"], max_noise_eff,
+                                      args["ddim_step_size"]))
+            kst = karras_step_list(model_dict["min_noise"], max_noise_eff,
+                                   n_st, schedule)
         if args["diff_alg"].lower() == DiffusionAlg.DDPM.name.lower():
             rng, sk = jax.random.split(rng)
             x_t = jax.jit(lambda p, xt, k, l, c: ddpm_sample(
@@ -336,16 +358,18 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 model_fn_factory(p), schedule, xt,
                 min_noise=model_dict["min_noise"],
                 max_noise=max_noise_eff,
-                ddim_step_size=args["ddim_step_size"],
+                ddim_step_size=args["ddim_step_size"], steps=kst,
                 cond_img=c, labels=l, **ink))(params, x_t, labels,
                                               dp(cond_img))
-        elif args["diff_alg"].lower() == "dpmpp":
-            from sdm_tpu.diffusion.samplers import dpmpp_sample
-            x_t = jax.jit(lambda p, xt, l, c: dpmpp_sample(
+        elif args["diff_alg"].lower() in ("dpmpp", "heun"):
+            from sdm_tpu.diffusion.samplers import dpmpp_sample, heun_sample
+            sf = dpmpp_sample if args["diff_alg"].lower() == "dpmpp" \
+                else heun_sample
+            x_t = jax.jit(lambda p, xt, l, c: sf(
                 model_fn_factory(p), schedule, xt,
                 min_noise=model_dict["min_noise"],
                 max_noise=max_noise_eff,
-                step_size=args["ddim_step_size"],
+                step_size=args["ddim_step_size"], steps=kst,
                 cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
@@ -385,7 +409,7 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
     n_imgs = args["num_images"]
     n_micro = args["pipeline"]
     alg = args["diff_alg"].lower()
-    ddim = alg in (DiffusionAlg.DDIM.name.lower(), "dpmpp")
+    ddim = alg in (DiffusionAlg.DDIM.name.lower(), "dpmpp", "heun")
     if not ddim and alg != DiffusionAlg.DDPM.name.lower():
         raise ValueError("Invalid Diffusion Algorithm type.")
     compute_dtype = (jnp.bfloat16 if args["dtype"] == "bfloat16" else None)
@@ -432,13 +456,23 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
             cond_chunks = None
 
         if ddim:
-            if alg == "dpmpp":
-                from sdm_tpu.diffusion.samplers import dpmpp_sample
+            if alg in ("dpmpp", "heun"):
+                from sdm_tpu.diffusion.samplers import (dpmpp_sample,
+                                                        heun_sample)
                 kw = {"step_size": args["ddim_step_size"]}
-                sample_fn = dpmpp_sample
+                sample_fn = dpmpp_sample if alg == "dpmpp" else heun_sample
             else:
                 kw = {"ddim_step_size": args["ddim_step_size"]}
                 sample_fn = ddim_sample
+            if args["karras"]:
+                from sdm_tpu.diffusion.samplers import (ddim_step_list,
+                                                        karras_step_list)
+                n_st = len(ddim_step_list(model_dict["min_noise"],
+                                          model_dict["max_noise"],
+                                          args["ddim_step_size"]))
+                kw = dict(kw, steps=karras_step_list(
+                    model_dict["min_noise"], model_dict["max_noise"],
+                    n_st, schedule))
             jf = jax.jit(lambda p, xt, l, c, md=model_dict, sch=schedule,
                          f=model_fn_factory, sf=sample_fn, kw=kw: sf(
                              f(p), sch, xt, min_noise=md["min_noise"],

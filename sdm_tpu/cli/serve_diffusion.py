@@ -26,11 +26,13 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
     parser.add_argument("--port", type=int, default=8000,
                         help="0 = pick a free port (printed at startup).")
     parser.add_argument("--diff_alg", default="ddim",
-                        choices=("ddim", "ddpm", "cold", "dpmpp"),
+                        choices=("ddim", "ddpm", "cold", "dpmpp", "heun"),
                         help="Sampler for BASE bundles (cold for BASE-COLD "
                              "bundles; SR bundles auto-detect and always "
                              "sample cold; dpmpp = 2nd-order ODE solver, "
-                             "~5x fewer steps at ddim quality).")
+                             "~5x fewer steps at ddim quality; heun = "
+                             "2nd-order predictor-corrector, 2 model calls "
+                             "per step).")
     parser.add_argument("--ddim_step_size", "--cold_step_size",
                         dest="ddim_step_size", type=int, default=10,
                         help="Skip-step size for ddim/cold sampling.")

@@ -54,6 +54,47 @@ def ddim_step_list(min_noise: int, max_noise: int, step_size: int) -> List[int]:
     return steps
 
 
+def karras_step_list(min_noise: int, max_noise: int, n_steps: int,
+                     schedule, rho: float = 7.0) -> List[int]:
+    """Karras et al. (2022) rho-spaced step list, mapped onto this
+    framework's integer timesteps (TPU-build extension — the reference only
+    has the uniform skip list, diffusion_sampling_algorithms.py:79-82).
+
+    The EDM noise level of step t is sigma_edm(t) = sqrt(1-abar_t)/
+    sqrt(abar_t); the rho-warped grid spends most of its (few) steps at low
+    noise where trajectory curvature concentrates:
+
+        sigma_i = (smax^(1/rho) + i/(n-1) (smin^(1/rho) - smax^(1/rho)))^rho
+
+    Each sigma_i is snapped to the nearest integer timestep (nearest in
+    log-sigma), then deduplicated keeping order. Endpoints are pinned to
+    max_noise / min_noise exactly, so the list composes with ensemble
+    chaining and the x0-at-step-1 return rule like ddim_step_list output.
+    """
+    if n_steps < 2:
+        return [max_noise] if max_noise == min_noise else [max_noise,
+                                                           min_noise]
+    import numpy as np
+    ts = np.arange(min_noise, max_noise + 1)
+    abar = np.asarray(schedule.alpha_bar_at(jnp.asarray(ts)), np.float64)
+    log_sig = 0.5 * (np.log1p(-abar) - np.log(abar))   # log sigma_edm(t)
+    smin, smax = np.exp(log_sig[0]), np.exp(log_sig[-1])
+    grid = np.linspace(0.0, 1.0, n_steps)
+    sig = (smax ** (1.0 / rho)
+           + grid * (smin ** (1.0 / rho) - smax ** (1.0 / rho))) ** rho
+    # log_sig is increasing in t; snap each target to the nearest t.
+    idx = np.abs(log_sig[None, :] - np.log(sig)[:, None]).argmin(axis=1)
+    steps = [int(ts[i]) for i in idx]
+    steps[0], steps[-1] = max_noise, min_noise
+    out: List[int] = []
+    for s in steps:
+        if not out or s < out[-1]:
+            out.append(s)
+    if out[-1] != min_noise:
+        out.append(min_noise)
+    return out
+
+
 def _concat_cond(x: jnp.ndarray, cond_img: Optional[jnp.ndarray]) -> jnp.ndarray:
     if cond_img is None:
         return x
@@ -144,7 +185,8 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                 zs: Optional[jnp.ndarray] = None,
                 inpaint_known: Optional[jnp.ndarray] = None,
                 inpaint_mask: Optional[jnp.ndarray] = None,
-                inpaint_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                inpaint_noise: Optional[jnp.ndarray] = None,
+                steps: Optional[List[int]] = None) -> jnp.ndarray:
     """DDIM sampling (eta=0 deterministic by default, matching the reference's
     hardcoded choice, :84-86). For eta > 0 the per-step gaussian noise comes
     from `rng`, or can be injected via `zs` (shape (len(steps)-1, *x.shape))
@@ -158,7 +200,8 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     the known pixels — the model only synthesizes the mask==0 region,
     conditioned on the known context at every step."""
     mo = _model_output(model_fn)
-    steps = ddim_step_list(min_noise, max_noise, ddim_step_size)
+    steps = (list(steps) if steps is not None
+             else ddim_step_list(min_noise, max_noise, ddim_step_size))
     if eta != 0.0 and rng is None and zs is None:
         raise ValueError("eta > 0 needs rng (or injected zs)")
     if inpaint_known is not None:
@@ -237,7 +280,8 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                  min_noise: int = 1, max_noise: int = 1000,
                  step_size: int = 100,
                  cond_img: Optional[jnp.ndarray] = None,
-                 labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 labels: Optional[jnp.ndarray] = None,
+                 steps: Optional[List[int]] = None) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep probability-flow ODE solver
     (Lu et al. 2022) — a TPU-build extension beyond the reference's sampler
     set (diffusion_sampling_algorithms.py has DDPM/DDIM/cold only).
@@ -262,7 +306,8 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     the per-step lambda/ratio coefficients are precomputed outside it.
     """
     mo = _model_output(model_fn)
-    steps = ddim_step_list(min_noise, max_noise, step_size)
+    steps = (list(steps) if steps is not None
+             else ddim_step_list(min_noise, max_noise, step_size))
 
     abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
     alpha = abar ** 0.5
@@ -290,6 +335,77 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     x_t = x_t.astype(jnp.float32)
     if len(steps) > 1:
         (x_t, _), _ = lax.scan(body, (x_t, jnp.zeros_like(x_t)), coefs)
+
+    # Final visited step: same return rule as ddim_sample (:146-148 parity
+    # semantics — x0 when the trajectory lands exactly on step 1, else x_t
+    # so ensemble chaining composes).
+    t_last = jnp.array([steps[-1]], dtype=jnp.int32)
+    raw = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
+    abar_t = schedule.alpha_bar_at(t_last).astype(jnp.float32)
+    _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
+    if steps[-1] == 1:  # static python condition (step list is static)
+        return x0_approx
+    return x_t
+
+
+def heun_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
+                min_noise: int = 1, max_noise: int = 1000,
+                step_size: int = 100,
+                cond_img: Optional[jnp.ndarray] = None,
+                labels: Optional[jnp.ndarray] = None,
+                steps: Optional[List[int]] = None) -> jnp.ndarray:
+    """Heun (2nd-order predictor-corrector) probability-flow sampler
+    (Karras et al. 2022, Algorithm 1) — a TPU-build extension beyond the
+    reference's DDPM/DDIM/cold set (diffusion_sampling_algorithms.py).
+
+    In the exponential-integrator coordinates y = x/alpha_t,
+    s = sigma_t/alpha_t the PF-ODE is dy/ds = eps_hat(x, t), and Euler in
+    (y, s) is EXACTLY the DDIM eta=0 update (asserted in
+    tests/test_heun.py). Heun re-evaluates eps at the DDIM-predicted point
+    and averages the two slopes:
+
+        x~      = r x + g eps_hat(x, t)            (DDIM predictor)
+        x_{t'}  = r x + g (eps_hat(x, t) + eps_hat(x~, t')) / 2
+
+    with r = alpha_{t'}/alpha_t and g = sigma_{t'} - r sigma_t — both
+    well-conditioned as abar -> 0 (no division by alpha of the current
+    state). Two model calls per transition (vs dpmpp's one): same 2nd-order
+    error decay, but single-step — no multistep history, so it is the
+    robust choice for very short / strongly non-uniform (Karras-spaced)
+    step lists where dpmpp's h_i/h_{i-1} ratio coefficient degrades.
+
+    Same step-list semantics as ddim_sample (uniform skip list with
+    append-min by default; pass `steps=karras_step_list(...)` for
+    rho-spacing), same x0-at-step-1 return rule, same ensemble chaining,
+    deterministic, and v-models consumed natively via _to_eps_x0.
+    """
+    mo = _model_output(model_fn)
+    steps = (list(steps) if steps is not None
+             else ddim_step_list(min_noise, max_noise, step_size))
+
+    abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
+    alpha = abar ** 0.5
+    sigma = (1.0 - abar) ** 0.5
+    r = alpha[1:] / alpha[:-1]
+    g = sigma[1:] - r * sigma[:-1]
+    coefs = (jnp.array(steps[:-1], jnp.int32),
+             jnp.array(steps[1:], jnp.int32), r, g)
+
+    def body(x, scan_x):
+        t, tn, r_i, g_i = scan_x
+        raw = model_fn(_concat_cond(x, cond_img), t[None], labels)
+        abar_t = schedule.alpha_bar_at(t[None]).astype(jnp.float32)
+        eps1, _ = _to_eps_x0(raw.astype(jnp.float32), x, abar_t, mo)
+        x_pred = r_i * x + g_i * eps1
+        raw2 = model_fn(_concat_cond(x_pred, cond_img), tn[None], labels)
+        abar_tn = schedule.alpha_bar_at(tn[None]).astype(jnp.float32)
+        eps2, _ = _to_eps_x0(raw2.astype(jnp.float32), x_pred, abar_tn, mo)
+        x_new = r_i * x + g_i * 0.5 * (eps1 + eps2)
+        return x_new, None
+
+    x_t = x_t.astype(jnp.float32)
+    if len(steps) > 1:
+        x_t, _ = lax.scan(body, x_t, coefs)
 
     # Final visited step: same return rule as ddim_sample (:146-148 parity
     # semantics — x0 when the trajectory lands exactly on step 1, else x_t

@@ -67,11 +67,13 @@ class SamplerEngine:
         from sdm_tpu.io.bundles import (build_model_from_bundle,
                                         load_bundle_config)
         from sdm_tpu.diffusion.samplers import (cold_sample, ddim_sample,
-                                                ddpm_sample, dpmpp_sample)
+                                                ddpm_sample, dpmpp_sample,
+                                                heun_sample)
 
-        if diff_alg not in ("ddim", "ddpm", "cold", "dpmpp"):
+        if diff_alg not in ("ddim", "ddpm", "cold", "dpmpp", "heun"):
             raise ValueError(
-                f"diff_alg must be ddim/ddpm/cold/dpmpp, got {diff_alg!r}")
+                f"diff_alg must be ddim/ddpm/cold/dpmpp/heun, "
+                f"got {diff_alg!r}")
         if output_dtype not in ("float32", "uint8"):
             raise ValueError(
                 f"output_dtype must be float32/uint8, got {output_dtype!r}")
@@ -164,12 +166,14 @@ class SamplerEngine:
                                        max_noise=_mx,
                                        ddim_step_size=step_size,
                                        labels=labels)
-            elif self.diff_alg == "dpmpp":
+            elif self.diff_alg in ("dpmpp", "heun"):
+                _sf = dpmpp_sample if self.diff_alg == "dpmpp" \
+                    else heun_sample
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
-                        _s=schedule, _mn=mn, _mx=mx):
-                    return dpmpp_sample(_mk(p, gs), _s, x_t, min_noise=_mn,
-                                        max_noise=_mx, step_size=step_size,
-                                        labels=labels)
+                        _s=schedule, _mn=mn, _mx=mx, _sf=_sf):
+                    return _sf(_mk(p, gs), _s, x_t, min_noise=_mn,
+                               max_noise=_mx, step_size=step_size,
+                               labels=labels)
             elif self.diff_alg == "ddpm":
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
                         _s=schedule, _mn=mn, _mx=mx):
