@@ -375,43 +375,72 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     # ---- Mesh & sharding ----
     from sdm_tpu.parallel.mesh import auto_data_mesh
     # Spatial partitioning (config "sp", default 1 = off): image H sharded
-    # over a second "space" mesh axis so per-sample activation memory drops
+    # over a "space" mesh axis so per-sample activation memory drops
     # ~sp per chip — the lever for huge-resolution training (parallel/sp.py).
+    # Tensor parallelism (config "tp", default 1 = off): conv/dense kernels
+    # whose output-channel width is >= "tp_min_width" (default 256) sharded
+    # over a "model" mesh axis; GSPMD inserts the activation collectives
+    # (parallel/tp.py). dp = devices / (tp * sp); all three compose with
+    # FSDP and multihost in one SPMD program (mesh axes data[, model][,
+    # space]; under multihost the model/space axes stay within a host so
+    # their collectives ride ICI, DCN carries only the dp gradient reduce).
     sp = int(config_dict.get("sp", 1))
+    tp = int(config_dict.get("tp", 1))
     if sp < 1:
         raise ValueError(f'"sp" must be >= 1, got {sp}')
+    if tp < 1:
+        raise ValueError(f'"tp" must be >= 1, got {tp}')
     if multi:
         # All processes run one SPMD program: the mesh must span every
         # global device, and the global batch must divide across them.
-        if sp > 1:
-            raise ValueError('"sp" and "multihost" cannot be combined yet; '
-                             "spatially partition within each host instead")
         n_total = len(jax.devices())
         if num_devices is not None and num_devices != n_total:
             raise ValueError(
                 f"multi-host training uses all {n_total} devices")
+        if tp * sp > 1 and jax.local_device_count() % (tp * sp):
+            raise ValueError(
+                f"tp*sp = {tp * sp} must divide the per-host device count "
+                f"{jax.local_device_count()} (model/space groups must not "
+                "span hosts)")
+    else:
+        n_total = (num_devices if num_devices is not None
+                   else len(jax.devices()))
+    if tp > 1 or sp > 1:
+        from jax.sharding import Mesh
+        if n_total % (tp * sp):
+            raise ValueError(
+                f"tp={tp} x sp={sp} must divide the device count {n_total}")
+        dp = n_total // (tp * sp)
+        if micro_batch % dp:
+            raise ValueError(
+                f"microbatch {micro_batch} must be divisible by the data-"
+                f"axis size {dp} ({n_total} devices / tp={tp} / sp={sp})")
+        shape = [dp] + ([tp] if tp > 1 else []) + ([sp] if sp > 1 else [])
+        names = (["data"] + (["model"] if tp > 1 else [])
+                 + (["space"] if sp > 1 else []))
+        mesh = Mesh(np.array(jax.devices()[:n_total]).reshape(shape),
+                    tuple(names))
+    elif multi:
         if micro_batch % n_total:
             raise ValueError(
                 f"global microbatch {micro_batch} must be divisible by "
                 f"{n_total} devices")
         mesh = make_mesh(n_total)
-    elif sp > 1:
-        from sdm_tpu.parallel.sp import make_dp_sp_mesh
-        n_total = (num_devices if num_devices is not None
-                   else len(jax.devices()))
-        if n_total % sp:
-            raise ValueError(
-                f"sp={sp} must divide the device count {n_total}")
-        dp = n_total // sp
-        if micro_batch % dp:
-            raise ValueError(
-                f"microbatch {micro_batch} must be divisible by the data-"
-                f"axis size {dp} ({n_total} devices / sp={sp})")
-        mesh = make_dp_sp_mesh(dp, sp)
     else:
         mesh = auto_data_mesh(micro_batch, num_devices)
     n_dev = mesh.devices.size
     state = mh.replicate(state, mesh)
+
+    # TP kernel shardings (only when "tp" > 1): the widest kernels' output-
+    # channel dim over "model"; Adam moments and EMA share the kernels'
+    # shapes so the same shape rule shards them consistently.
+    tp_on = tp > 1
+    tp_base_params = None
+    tp_min_width = int(config_dict.get("tp_min_width", 256))
+    if tp_on:
+        from sdm_tpu.parallel.tp import tp_param_shardings
+        tp_base_params = tp_param_shardings(state.params, mesh,
+                                            min_width=tp_min_width)
 
     # FSDP (config "fsdp", default off = replicated parity behavior): shard
     # every large state leaf (params, Adam moments, EMA) over the data axis —
@@ -423,14 +452,20 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         from sdm_tpu.parallel.fsdp import shard_state_fsdp
         state, state_shardings = shard_state_fsdp(
             state, mesh,
-            min_size=int(config_dict.get("fsdp_min_size", 2 ** 15)))
+            min_size=int(config_dict.get("fsdp_min_size", 2 ** 15)),
+            base_params=tp_base_params)
+    elif tp_on:
+        from sdm_tpu.parallel.tp import tp_param_shardings
+        state_shardings = tp_param_shardings(state, mesh,
+                                             min_width=tp_min_width)
+        state = jax.jit(lambda s: s, out_shardings=state_shardings)(state)
 
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
     jit_kwargs = {}
-    if fsdp_on:
+    if state_shardings is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        # Pin the updated state back to the FSDP layout (and donate the old
-        # one); without this GSPMD may legally round-trip to replicated.
+        # Pin the updated state back to the FSDP/TP layout (and donate the
+        # old one); without this GSPMD may legally round-trip to replicated.
         jit_kwargs["out_shardings"] = (
             state_shardings,
             jax.tree.map(lambda _: NamedSharding(mesh, P()), {"loss": 0.0}))
@@ -494,6 +529,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     logging.info(f"Using Conditional Info.: {use_conditional}")
     logging.info(f"Image Augmentation (Random Horizontal Flip): {flip_imgs}")
     logging.info(f"Devices (data mesh): {n_dev}"
+                 + (f" [tensor parallelism tp={tp}]" if tp > 1 else "")
                  + (f" [spatial partitioning sp={sp}]" if sp > 1 else "")
                  + (" [FSDP state sharding]" if fsdp_on else ""))
     logging.info(f"Compute dtype: {compute_dtype or jnp.float32}")
@@ -606,8 +642,8 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     async_ckpt = bool(config_dict.get("async_checkpoint", False))
     ckpt_worker = {"thread": None}
 
-    # Cross-host FSDP checkpointing: sharded leaves span hosts, so process 0
-    # cannot read them directly. Every process first runs this collective
+    # Cross-host FSDP/TP checkpointing: sharded leaves span hosts, so process
+    # 0 cannot read them directly. Every process first runs this collective
     # all-gather reshard back to the replicated layout (GSPMD turns the
     # sharding change into all-gathers over ICI/DCN); afterwards each process
     # holds a fully-addressable copy and the process-0-only I/O below works
@@ -615,7 +651,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     # checkpoint needs the signal delivered to EVERY host — which TPU
     # maintenance events do — or the gather would wait forever.
     gather_replicated = None
-    if fsdp_on and multi:
+    if state_shardings is not None and multi:
         from jax.sharding import NamedSharding, PartitionSpec as P
         _rep = jax.tree.map(lambda _: NamedSharding(mesh, P()), state)
         gather_replicated = jax.jit(lambda s: s, out_shardings=_rep)
@@ -741,11 +777,28 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                                        + v.shape[1:])
                           for k, v in arrays.items()}
                 spec_p = P(None, "data")
-            if sp > 1:
+            if sp > 1 and not multi:
                 from sdm_tpu.parallel.sp import put_batch_sp
                 return put_batch_sp(arrays, mesh, sp=sp,
                                     leading_stack=grad_accum > 1)
             if multi:
+                if sp > 1:
+                    # sp x multihost: each host contributes its batch rows
+                    # with FULL image height; the space shards of any row
+                    # live on that host's own devices (enforced by the
+                    # local-device divisibility check above), so the global
+                    # assembly is still process-local-data per host.
+                    from sdm_tpu.parallel.sp import (
+                        spatial_batch_spec, validate_spatial_divisibility)
+                    out = {}
+                    for k, v in arrays.items():
+                        validate_spatial_divisibility(
+                            np.shape(v), sp, name=k,
+                            leading_stack=grad_accum > 1)
+                        out[k] = mh.put_global_batch(
+                            v, mesh, spec=spatial_batch_spec(
+                                np.ndim(v), leading_stack=grad_accum > 1))
+                    return out
                 return mh.put_global_batch(arrays, mesh, spec=spec_p)
             if spec_p is not None:
                 from jax.sharding import NamedSharding

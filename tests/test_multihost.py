@@ -154,3 +154,22 @@ def test_two_process_fsdp_training(tmp_path):
     sd = torch.load(pt, map_location="cpu", weights_only=False)
     assert "model" in sd and all(
         np.isfinite(v.numpy()).all() for v in sd["model"].values())
+
+
+def test_two_process_sp_training(tmp_path):
+    # sp x multihost (VERDICT r3 item 3): global mesh (data=2, space=2),
+    # each host's 2 devices holding the H/2 slabs of its own batch rows.
+    # Replicated params must still end up bit-identical across processes.
+    cfg = _base_cfg(tmp_path)
+    cfg.update(sp=2)
+    outs = _run_two_procs(tmp_path, cfg)
+    _assert_common(tmp_path, outs)
+
+
+def test_two_process_tp_training(tmp_path):
+    # tp x multihost: global mesh (data=2, model=2), wide kernels channel-
+    # sharded within each host; checkpoint path all-gathers before I/O.
+    cfg = _base_cfg(tmp_path)
+    cfg.update(tp=2, tp_min_width=32)
+    outs = _run_two_procs(tmp_path, cfg)
+    _assert_common(tmp_path, outs)

@@ -103,3 +103,84 @@ def test_collective_cost_analysis_dp_vs_tp():
                                         jax.random.PRNGKey(0))
     assert tp_cost["all-gather"] + tp_cost["reduce-scatter"] > 0, tp_cost
     assert tp_cost["total"] > dp_cost["total"] * 0.5  # sanity: nonzero scale
+
+
+def test_tp_through_training_loop(tmp_path):
+    """Config "tp": 2 through run_training (VERDICT r3 item 2: TP reachable
+    by users, not just the dryrun) must reproduce the default 1-D data-mesh
+    run: same seeded draws, same losses, identical checkpoint params — and
+    actually shard the wide kernels over the "model" axis."""
+    import glob
+    import torch
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path, n=8)
+    results = {}
+    for tp in (1, 2):
+        cfg = _base_config(
+            tmp_path, batch_size=8, seed=7, checkpoint_steps=2,
+            min_channel=32, max_channel=64, num_layers=2, attn_layers=[1],
+            out_dir=str(tmp_path / f"out_tp_{tp}"), tp=tp, tp_min_width=32)
+        results[tp] = run_training(BASE_SPEC, cfg, max_steps=2)
+        assert np.isfinite(results[tp]["last_loss"])
+        if tp > 1:
+            # The state really is model-sharded in the returned TrainState.
+            specs = [str(l.sharding.spec) for l in
+                     jax.tree.leaves(results[tp]["state"].params)]
+            assert any("model" in s for s in specs), specs
+    assert np.isclose(results[1]["last_loss"], results[2]["last_loss"],
+                      rtol=5e-4)
+
+    ckpts = {t: sorted(glob.glob(str(
+        tmp_path / f"out_tp_{t}" / "checkpoint" / "diffusion_*.pt")))
+        for t in (1, 2)}
+    a = torch.load(ckpts[1][-1], map_location="cpu", weights_only=False)
+    b = torch.load(ckpts[2][-1], map_location="cpu", weights_only=False)
+    for k in a["model"]:
+        np.testing.assert_allclose(a["model"][k].numpy(),
+                                   b["model"][k].numpy(),
+                                   rtol=1e-3, atol=2.5e-4, err_msg=k)
+
+
+def test_tp_fsdp_sp_composed_training_loop(tmp_path):
+    """tp=2 x sp=2 x fsdp on the 8-device virtual mesh (dp=2) — the full
+    composition the driver dryrun runs, now through the USER-facing config —
+    pinned to the plain run and resumable from its own checkpoint."""
+    import glob
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path, n=8)
+    base = dict(batch_size=8, seed=3, checkpoint_steps=100,
+                min_channel=32, max_channel=64, num_layers=2, attn_layers=[1],
+                tp_min_width=32, fsdp_min_size=1024)
+    r_plain = run_training(BASE_SPEC, _base_config(
+        tmp_path, out_dir=str(tmp_path / "out_plain"), **base), max_steps=2)
+    r_comp = run_training(BASE_SPEC, _base_config(
+        tmp_path, out_dir=str(tmp_path / "out_comp"), tp=2, sp=2, fsdp=True,
+        **base), max_steps=2)
+    assert np.isclose(r_plain["last_loss"], r_comp["last_loss"], rtol=5e-4)
+
+    # Resume from the composed run's checkpoint with the same parallelism.
+    ckpt = sorted(glob.glob(str(
+        tmp_path / "out_comp" / "checkpoint" / "diffusion_*.pt")))[-1]
+    cfg2 = _base_config(
+        tmp_path, out_dir=str(tmp_path / "out_resume"), tp=2, sp=2,
+        fsdp=True, model_checkpoint=ckpt, load_diffusion_optim=True, **base)
+    r_resume = run_training(BASE_SPEC, cfg2, max_steps=1)
+    assert np.isfinite(r_resume["last_loss"])
+
+
+def test_tp_loop_validation_errors(tmp_path):
+    import pytest
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path, n=8)
+    with pytest.raises(ValueError, match="must divide the device count"):
+        run_training(BASE_SPEC, _base_config(tmp_path, batch_size=4, tp=3),
+                     max_steps=1)
+    with pytest.raises(ValueError, match='"tp" must be >= 1'):
+        run_training(BASE_SPEC, _base_config(tmp_path, batch_size=4, tp=0),
+                     max_steps=1)
