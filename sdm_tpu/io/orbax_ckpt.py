@@ -29,7 +29,23 @@ def save_native(state, dest_path: str, steps: int, *, prefix: str = "native") ->
 
 
 def load_native(path: str, template_state):
+    """Restore a native checkpoint dir onto `template_state`'s structure.
+
+    Every jax.Array leaf of the template is restored DIRECTLY onto its
+    current sharding (mesh axes, FSDP/TP layouts) — each device reads only
+    its own shard from disk, no replicated host copy is materialized. This
+    is the point of the native path over the torch .pt interop format:
+    resume cost scales with per-device state, not global state. Non-array
+    leaves (host scalars) restore as saved.
+    """
     import orbax.checkpoint as ocp
 
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return x
+
+    template = jax.tree.map(abstract, template_state)
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path), template_state)
+        return ckptr.restore(os.path.abspath(path), template)

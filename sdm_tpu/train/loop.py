@@ -317,6 +317,14 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
 
     pending_optimizer = None
     pending_ema = None
+    pending_native = None
+    if diffusion_checkpoint is not None and os.path.isdir(diffusion_checkpoint):
+        # Native (orbax) checkpoint dir from "native_checkpoint": true runs:
+        # the FULL train state (params, optimizer, EMA, step counter) is
+        # restored in one shot — after the mesh/sharding setup below, so
+        # leaves land directly on their final shardings (io/orbax_ckpt.py).
+        pending_native = diffusion_checkpoint
+        diffusion_checkpoint = None
     if diffusion_checkpoint is not None:
         ok, ckpt = load_checkpoint(diffusion_checkpoint, log=logging.info)
         if not ok:
@@ -459,6 +467,26 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
         state_shardings = tp_param_shardings(state, mesh,
                                              min_width=tp_min_width)
         state = jax.jit(lambda s: s, out_shardings=state_shardings)(state)
+
+    if pending_native is not None:
+        # Resume from a native checkpoint dir (config "model_checkpoint"
+        # pointing at out_dir/checkpoint/native_<steps>): the whole state —
+        # params, Adam moments, EMA when tracked, step counter — restores
+        # onto the shardings established above. load_diffusion_optim is
+        # irrelevant here (full-state restore is the native semantics); a
+        # config_checkpoint still governs starting_epoch/betas, but the
+        # step counter comes from the state itself.
+        from sdm_tpu.io.orbax_ckpt import load_native
+        try:
+            state = load_native(pending_native, state)
+        except Exception as e:
+            raise Exception(
+                f"Failed to restore native checkpoint {pending_native!r} "
+                f"(the run's \"ema_decay\" on/off setting and model config "
+                f"must match the checkpointed run's): {e}")
+        global_steps = int(state.step)
+        logging.info(f"Restored native checkpoint {pending_native} "
+                     f"(full state, step {global_steps}).")
 
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
     jit_kwargs = {}
