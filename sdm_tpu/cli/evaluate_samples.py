@@ -92,6 +92,19 @@ def _generate_samples(args, log) -> np.ndarray:
     return np.concatenate(outs)
 
 
+def _save_grid(imgs: np.ndarray, path: str, log) -> None:
+    """Write a 5-col grid .jpg of `imgs` ((N,H,W,C), [-1,1], BGR) to `path`
+    with plot_sampled_images' exact quantization (io/plotting.py)."""
+    import cv2
+    from sdm_tpu.io.plotting import make_grid
+    grid = make_grid(np.asarray(imgs)[..., ::-1], nrow=5, padding=2,
+                     value_range=(-1, 1))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    out = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    cv2.imwrite(path, out[..., ::-1])
+    log(f"saved generated grid -> {path}")
+
+
 def evaluate_samples(raw_args=None, log=print):
     parser = argparse.ArgumentParser(
         description="Score generated samples against a real image set "
@@ -141,6 +154,11 @@ def evaluate_samples(raw_args=None, log=print):
     parser.add_argument("-s", "--seed", type=int, default=2)
     parser.add_argument("--out", default=None,
                         help="Also write the metrics JSON to this path.")
+    parser.add_argument("--save-gen-grid", default=None, metavar="PATH",
+                        help="Write a 5x5 grid .jpg of the first 25 "
+                             "evaluated (generated) images to PATH — the "
+                             "visual artifact next to the numbers, with no "
+                             "extra sampling or compile.")
     args = parser.parse_args(raw_args)
 
     from sdm_tpu.eval.features import make_feature_extractor
@@ -171,6 +189,8 @@ def evaluate_samples(raw_args=None, log=print):
         gen_imgs = _load_images(gen_paths, args.image_size)
     log(f"generated set: {gen_imgs.shape[0]} images "
         f"{gen_imgs.shape[1]}x{gen_imgs.shape[2]}")
+    if args.save_gen_grid:
+        _save_grid(gen_imgs[:25], args.save_gen_grid, log)
     gen_feat = extract(gen_imgs)
 
     # --- real side ------------------------------------------------------

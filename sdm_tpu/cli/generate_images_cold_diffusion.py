@@ -46,6 +46,12 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
                         help="Number of images to generate(default=1).")
     parser.add_argument("-d", "--dest_path", type=pathlib.Path,
                         help="File path to save images generated (Default: ./plots).")
+    parser.add_argument("--karras", action="store_true",
+                        help="Karras rho-7 step spacing (TPU-build "
+                             "extension): same number of steps as the "
+                             "uniform skip list, concentrated at low noise "
+                             "— better few-step quality on cold bundles "
+                             "too.")
     parser.add_argument("--cold_step_size", default=10, type=int,
                         help="Number of steps to skip when using cold diffusion.")
     parser.add_argument("-l", "--labels", nargs="*", type=float, default=None,
@@ -108,7 +114,10 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
             cast_params=compute_dtype is not None,
-            param_key="ema" if args["use_ema"] else "model")
+            param_key="ema" if args["use_ema"] else "model",
+            # --sp: keep attention 1x-sharded on the XLA path
+            # (parallel/sp.py kernel interaction).
+            use_pallas=False if args["sp"] > 1 else None)
 
         if noise is None:
             img_c, img_h, img_w = (model_dict["img_C"], model_dict["img_H"],
@@ -131,13 +140,19 @@ def generate_images_cold_diffusion(raw_args=None, log=print, save_locally=True):
         else:
             labels = None
 
+        kst = None
+        if args["karras"]:
+            from sdm_tpu.cli.generate_images_diffusion import _karras_steps
+            kst = _karras_steps(model_dict["min_noise"],
+                                model_dict["max_noise"],
+                                args["cold_step_size"], schedule)
         # params travel as a jit argument (not a closure) so the compiled
         # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
         x0_approx = jax.jit(lambda p, xt, nz, l: cold_sample(
             model_fn_factory(p), schedule, xt, nz,
             min_noise=model_dict["min_noise"],
             max_noise=model_dict["max_noise"],
-            skip_step_size=args["cold_step_size"],
+            skip_step_size=args["cold_step_size"], steps=kst,
             labels=l))(params, x_t, noise, labels)
 
     x0_approx = np.asarray(x0_approx)

@@ -35,6 +35,17 @@ def _detect_img_format(path) -> str:
     return "unknown"
 
 
+def _karras_steps(min_noise: int, max_noise_eff: int, step_size: int,
+                  schedule):
+    """Karras rho-7 step list with the same step count as the uniform skip
+    list. Callers must pass the EFFECTIVE max noise (img2img's
+    --init_noise_step lowers the first model's start), so sequential and
+    pipeline paths can never diverge on the spacing range."""
+    from sdm_tpu.diffusion.samplers import karras_steps_matching
+    return karras_steps_matching(min_noise, max_noise_eff, step_size,
+                                 schedule)
+
+
 def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                               save_locally=True):
     import jax
@@ -103,10 +114,11 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                              "to the init image). Required with "
                              "--init_img_path.")
     parser.add_argument("--inpaint_img_path", type=pathlib.Path, default=None,
-                        help="Inpainting (TPU-build extension, ddim only): "
-                             "keep this image's pixels where the mask is "
-                             "white and synthesize the rest, conditioned on "
-                             "the kept context at every step.")
+                        help="Inpainting (TPU-build extension, "
+                             "ddim/dpmpp/heun): keep this image's pixels "
+                             "where the mask is white and synthesize the "
+                             "rest, conditioned on the kept context at "
+                             "every step.")
     parser.add_argument("--inpaint_mask_path", type=pathlib.Path,
                         default=None,
                         help="Mask for --inpaint_img_path: pixels >= 128 "
@@ -239,8 +251,9 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
             "--inpaint_img_path and --inpaint_mask_path go together")
     if args["inpaint_img_path"] is not None:
         import cv2
-        if args["diff_alg"].lower() != "ddim":
-            raise ValueError("inpainting is supported with --diff_alg ddim")
+        if args["diff_alg"].lower() not in ("ddim", "dpmpp", "heun"):
+            raise ValueError("inpainting is supported with --diff_alg "
+                             "ddim/dpmpp/heun")
         if args["init_img_path"] is not None:
             raise ValueError("--inpaint_img_path and --init_img_path are "
                              "mutually exclusive")
@@ -287,7 +300,10 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         raw_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
             cast_params=compute_dtype is not None,
-            param_key="ema" if args["use_ema"] else "model")
+            param_key="ema" if args["use_ema"] else "model",
+            # --sp: keep attention 1x-sharded on the XLA path
+            # (parallel/sp.py kernel interaction).
+            use_pallas=False if args["sp"] > 1 else None)
 
         # img2img: replace the pure-noise start with the init image
         # q_sampled to init_noise_step (the reference's own ensemble-preview
@@ -340,12 +356,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
         # program is checkpoint-independent — see sdm_tpu/io/bundles.py.
         kst = None
         if args["karras"]:
-            from sdm_tpu.diffusion.samplers import (ddim_step_list,
-                                                    karras_step_list)
-            n_st = len(ddim_step_list(model_dict["min_noise"], max_noise_eff,
-                                      args["ddim_step_size"]))
-            kst = karras_step_list(model_dict["min_noise"], max_noise_eff,
-                                   n_st, schedule)
+            kst = _karras_steps(model_dict["min_noise"], max_noise_eff,
+                                args["ddim_step_size"], schedule)
         if args["diff_alg"].lower() == DiffusionAlg.DDPM.name.lower():
             rng, sk = jax.random.split(rng)
             x_t = jax.jit(lambda p, xt, k, l, c: ddpm_sample(
@@ -370,7 +382,8 @@ def generate_images_diffusion(raw_args=None, log=print, cond_img=None,
                 min_noise=model_dict["min_noise"],
                 max_noise=max_noise_eff,
                 step_size=args["ddim_step_size"], steps=kst,
-                cond_img=c, labels=l))(params, x_t, labels, dp(cond_img))
+                cond_img=c, labels=l, **ink))(params, x_t, labels,
+                                              dp(cond_img))
         else:
             raise ValueError("Invalid Diffusion Algorithm type.")
 
@@ -465,14 +478,11 @@ def _pipeline_generate(args, models_details, folder, rng, cond_img, out_dir,
                 kw = {"ddim_step_size": args["ddim_step_size"]}
                 sample_fn = ddim_sample
             if args["karras"]:
-                from sdm_tpu.diffusion.samplers import (ddim_step_list,
-                                                        karras_step_list)
-                n_st = len(ddim_step_list(model_dict["min_noise"],
-                                          model_dict["max_noise"],
-                                          args["ddim_step_size"]))
-                kw = dict(kw, steps=karras_step_list(
+                # max_noise IS the effective max here: --pipeline rejects
+                # --init_img_path (the only thing that lowers it).
+                kw = dict(kw, steps=_karras_steps(
                     model_dict["min_noise"], model_dict["max_noise"],
-                    n_st, schedule))
+                    args["ddim_step_size"], schedule))
             jf = jax.jit(lambda p, xt, l, c, md=model_dict, sch=schedule,
                          f=model_fn_factory, sf=sample_fn, kw=kw: sf(
                              f(p), sch, xt, min_noise=md["min_noise"],

@@ -130,7 +130,10 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
         model_fn_factory, schedule, _, params = build_model_from_bundle(
             model_dict, folder, max_T=args["max_T"], dtype=compute_dtype,
             cast_params=compute_dtype is not None,
-            param_key="ema" if args["use_ema"] else "model")
+            param_key="ema" if args["use_ema"] else "model",
+            # --sp: keep attention 1x-sharded on the XLA path
+            # (parallel/sp.py kernel interaction).
+            use_pallas=False if args["sp"] > 1 else None)
 
         if noise is None:
             img_num = lr_img.shape[0]

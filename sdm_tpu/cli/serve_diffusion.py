@@ -61,6 +61,10 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
                         help="Shard the compiled batch over this many "
                              "devices (data-parallel serving; must divide "
                              "--max-batch). Default: 1.")
+    parser.add_argument("--karras", action="store_true",
+                        help="Karras rho-7 step spacing (same step count as "
+                             "the uniform skip list) for ddim/dpmpp/heun/"
+                             "cold — generator-CLI --karras parity.")
     parser.add_argument("--no-precompile", action="store_true",
                         help="Skip the warm-up batch (first request pays "
                              "the compile).")
@@ -74,7 +78,8 @@ def serve_diffusion(raw_args=None, log=print, block: bool = True):
         dtype=args.dtype if args.dtype != "float32" else None,
         use_ema=args.use_ema, guidance=args.guidance,
         num_devices=args.num_devices,
-        output_dtype="uint8" if args.uint8_output else "float32", log=log)
+        output_dtype="uint8" if args.uint8_output else "float32",
+        karras=args.karras, log=log)
     server = DiffusionServer(engine, host=args.host, port=args.port,
                              batch_wait_ms=args.batch_wait_ms, log=log)
     server.start(precompile=not args.no_precompile)

@@ -90,9 +90,19 @@ def karras_step_list(min_noise: int, max_noise: int, n_steps: int,
     for s in steps:
         if not out or s < out[-1]:
             out.append(s)
-    if out[-1] != min_noise:
-        out.append(min_noise)
+    # steps[-1] is pinned to min_noise and ts is bounded below by it, so the
+    # dedup above can never drop the endpoint.
+    assert out[-1] == min_noise
     return out
+
+
+def karras_steps_matching(min_noise: int, max_noise: int, step_size: int,
+                          schedule, rho: float = 7.0) -> List[int]:
+    """Karras rho-spaced step list with the SAME step count as the uniform
+    ddim_step_list(min_noise, max_noise, step_size) — the drop-in spacing
+    swap behind the generator CLIs' and the serving engine's --karras."""
+    n_steps = len(ddim_step_list(min_noise, max_noise, step_size))
+    return karras_step_list(min_noise, max_noise, n_steps, schedule, rho=rho)
 
 
 def _concat_cond(x: jnp.ndarray, cond_img: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -124,6 +134,38 @@ def _to_eps_x0(raw: jnp.ndarray, x: jnp.ndarray, abar_t: jnp.ndarray,
         a = abar_t ** 0.5
         return a * raw + s * x, a * x - s * raw
     return raw, (x - s * raw) / abar_t ** 0.5
+
+
+def _inpaint_ctx(inpaint_known, inpaint_mask, inpaint_noise):
+    """Validate + fp32-cast the RePaint-style inpainting inputs shared by
+    ddim_sample / dpmpp_sample / heun_sample (TPU-build extension). Returns
+    (known, mask, noise) or None when inpainting is off."""
+    if inpaint_known is None:
+        return None
+    if inpaint_mask is None or inpaint_noise is None:
+        raise ValueError(
+            "inpainting needs inpaint_known, inpaint_mask AND "
+            "inpaint_noise together")
+    return (inpaint_known.astype(jnp.float32),
+            inpaint_mask.astype(jnp.float32),
+            inpaint_noise.astype(jnp.float32))
+
+
+def _inpaint_project(ctx, schedule, x_new, t):
+    """Project the known region onto its forward marginal at step `t`
+    (RePaint per-step projection; shared degradation noise keeps
+    deterministic samplers deterministic)."""
+    known, mask, pnoise = ctx
+    return (1.0 - mask) * x_new + mask * schedule.q_sample(known, t, pnoise)
+
+
+def _inpaint_finalize(ctx, schedule, x0_approx, x_t, t_last):
+    """Blend the final x0 back to the known pixels, and keep x_t projected
+    so ensemble chaining stays consistent with the known region."""
+    known, mask, _ = ctx
+    x0_approx = (1.0 - mask) * x0_approx + mask * known
+    x_t = _inpaint_project(ctx, schedule, x_t, t_last)
+    return x0_approx, x_t
 
 
 def ddpm_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
@@ -204,14 +246,7 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
              else ddim_step_list(min_noise, max_noise, ddim_step_size))
     if eta != 0.0 and rng is None and zs is None:
         raise ValueError("eta > 0 needs rng (or injected zs)")
-    if inpaint_known is not None:
-        if inpaint_mask is None or inpaint_noise is None:
-            raise ValueError(
-                "inpainting needs inpaint_known, inpaint_mask AND "
-                "inpaint_noise together")
-        _known = inpaint_known.astype(jnp.float32)
-        _mask = inpaint_mask.astype(jnp.float32)
-        _pnoise = inpaint_noise.astype(jnp.float32)
+    ink = _inpaint_ctx(inpaint_known, inpaint_mask, inpaint_noise)
 
     t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)
     if eta != 0.0 and zs is not None:
@@ -249,10 +284,9 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         x_new = (abar_tm1 ** 0.5 * x0_approx
                  + (1.0 - abar_tm1 - sigma ** 2) ** 0.5 * eps_hat
                  + sigma * noise)
-        if inpaint_known is not None:
+        if ink is not None:
             # Project the known region onto its forward marginal at t-1.
-            x_new = ((1.0 - _mask) * x_new
-                     + _mask * schedule.q_sample(_known, tm1, _pnoise))
+            x_new = _inpaint_project(ink, schedule, x_new, tm1)
         return x_new, None
 
     if len(steps) > 1:
@@ -267,10 +301,9 @@ def ddim_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     _, _, abar_t = schedule.timestep_params(t_last)
     abar_t = abar_t.astype(jnp.float32)
     _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
-    if inpaint_known is not None:
-        x0_approx = (1.0 - _mask) * x0_approx + _mask * _known
-        x_t = (1.0 - _mask) * x_t + _mask * schedule.q_sample(
-            _known, t_last, _pnoise)
+    if ink is not None:
+        x0_approx, x_t = _inpaint_finalize(ink, schedule, x0_approx, x_t,
+                                           t_last)
     if steps[-1] == 1:  # static python condition (step list is static)
         return x0_approx
     return x_t
@@ -281,7 +314,10 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                  step_size: int = 100,
                  cond_img: Optional[jnp.ndarray] = None,
                  labels: Optional[jnp.ndarray] = None,
-                 steps: Optional[List[int]] = None) -> jnp.ndarray:
+                 steps: Optional[List[int]] = None,
+                 inpaint_known: Optional[jnp.ndarray] = None,
+                 inpaint_mask: Optional[jnp.ndarray] = None,
+                 inpaint_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """DPM-Solver++(2M): second-order multistep probability-flow ODE solver
     (Lu et al. 2022) — a TPU-build extension beyond the reference's sampler
     set (diffusion_sampling_algorithms.py has DDPM/DDIM/cold only).
@@ -308,6 +344,7 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     mo = _model_output(model_fn)
     steps = (list(steps) if steps is not None
              else ddim_step_list(min_noise, max_noise, step_size))
+    ink = _inpaint_ctx(inpaint_known, inpaint_mask, inpaint_noise)
 
     abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
     alpha = abar ** 0.5
@@ -318,18 +355,21 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     # al. 2022, Algorithm 2) = h_i/(2 h_{i-1}); c_0 = 0 (no history).
     c = jnp.concatenate([jnp.zeros((1,)), h[1:] / (2.0 * h[:-1])])
     coefs = (jnp.array(steps[:-1], jnp.int32),   # s: level of the carry x
+             jnp.array(steps[1:], jnp.int32),    # s_next: level of x_new
              sigma[1:] / sigma[:-1],             # sigma ratio
              alpha[1:] * (1.0 - jnp.exp(-h)),    # -alpha_t (e^{-h} - 1)
              c)
 
     def body(carry, scan_x):
         x, x0_prev = carry
-        s, sig_ratio, gain, c_i = scan_x
+        s, s_next, sig_ratio, gain, c_i = scan_x
         raw = model_fn(_concat_cond(x, cond_img), s[None], labels)
         abar_s = schedule.alpha_bar_at(s[None]).astype(jnp.float32)
         _, x0 = _to_eps_x0(raw.astype(jnp.float32), x, abar_s, mo)
         d = (1.0 + c_i) * x0 - c_i * x0_prev
         x_new = sig_ratio * x + gain * d
+        if ink is not None:
+            x_new = _inpaint_project(ink, schedule, x_new, s_next[None])
         return (x_new, x0), None
 
     x_t = x_t.astype(jnp.float32)
@@ -343,6 +383,9 @@ def dpmpp_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     raw = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
     abar_t = schedule.alpha_bar_at(t_last).astype(jnp.float32)
     _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
+    if ink is not None:
+        x0_approx, x_t = _inpaint_finalize(ink, schedule, x0_approx, x_t,
+                                           t_last)
     if steps[-1] == 1:  # static python condition (step list is static)
         return x0_approx
     return x_t
@@ -353,7 +396,10 @@ def heun_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
                 step_size: int = 100,
                 cond_img: Optional[jnp.ndarray] = None,
                 labels: Optional[jnp.ndarray] = None,
-                steps: Optional[List[int]] = None) -> jnp.ndarray:
+                steps: Optional[List[int]] = None,
+                inpaint_known: Optional[jnp.ndarray] = None,
+                inpaint_mask: Optional[jnp.ndarray] = None,
+                inpaint_noise: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Heun (2nd-order predictor-corrector) probability-flow sampler
     (Karras et al. 2022, Algorithm 1) — a TPU-build extension beyond the
     reference's DDPM/DDIM/cold set (diffusion_sampling_algorithms.py).
@@ -382,6 +428,7 @@ def heun_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     mo = _model_output(model_fn)
     steps = (list(steps) if steps is not None
              else ddim_step_list(min_noise, max_noise, step_size))
+    ink = _inpaint_ctx(inpaint_known, inpaint_mask, inpaint_noise)
 
     abar = schedule.alpha_bar_at(jnp.asarray(steps)).astype(jnp.float32)
     alpha = abar ** 0.5
@@ -401,6 +448,8 @@ def heun_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
         abar_tn = schedule.alpha_bar_at(tn[None]).astype(jnp.float32)
         eps2, _ = _to_eps_x0(raw2.astype(jnp.float32), x_pred, abar_tn, mo)
         x_new = r_i * x + g_i * 0.5 * (eps1 + eps2)
+        if ink is not None:
+            x_new = _inpaint_project(ink, schedule, x_new, tn[None])
         return x_new, None
 
     x_t = x_t.astype(jnp.float32)
@@ -414,6 +463,9 @@ def heun_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray, *,
     raw = model_fn(_concat_cond(x_t, cond_img), t_last, labels)
     abar_t = schedule.alpha_bar_at(t_last).astype(jnp.float32)
     _, x0_approx = _to_eps_x0(raw.astype(jnp.float32), x_t, abar_t, mo)
+    if ink is not None:
+        x0_approx, x_t = _inpaint_finalize(ink, schedule, x0_approx, x_t,
+                                           t_last)
     if steps[-1] == 1:  # static python condition (step list is static)
         return x0_approx
     return x_t
@@ -424,14 +476,18 @@ def cold_sample(model_fn: ModelFn, schedule, x_t: jnp.ndarray,
                 min_noise: int = 1, max_noise: int = 1000,
                 skip_step_size: int = 10,
                 cond_img: Optional[jnp.ndarray] = None,
-                labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                labels: Optional[jnp.ndarray] = None,
+                steps: Optional[List[int]] = None) -> jnp.ndarray:
     """Cold-diffusion sampling with an x0-predicting model; `noise` is the
-    trajectory-shared degradation noise (:155)."""
+    trajectory-shared degradation noise (:155). `steps` overrides the
+    uniform skip list (same semantics as ddim_sample's `steps` — e.g. a
+    karras_step_list for rho-spacing on cold bundles)."""
     if _model_output(model_fn) == "v":
         raise ValueError(
             "cold_sample consumes x0-predicting models; the v "
             "parameterization applies to the eps family (ddpm/ddim/dpmpp)")
-    steps = ddim_step_list(min_noise, max_noise, skip_step_size)
+    steps = (list(steps) if steps is not None
+             else ddim_step_list(min_noise, max_noise, skip_step_size))
     noise = noise.astype(jnp.float32)
 
     t_pairs = jnp.array(list(zip(steps[:-1], steps[1:])), dtype=jnp.int32)

@@ -36,7 +36,8 @@ def load_bundle_config(config_path: str) -> Tuple[dict, str]:
 
 def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
                             max_T: int, dtype=None, cast_params: bool = False,
-                            param_key: str = "model"):
+                            param_key: str = "model",
+                            use_pallas=None):
     """Returns (model_fn_factory, schedule, net, params) for one bundle
     entry: the UNet with its checkpoint loaded, and the degrader rebuilt
     from bundle params (generate_images_diffusion.py:187-227).
@@ -61,9 +62,13 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     # The default fp32 path must reproduce the reference's inference
     # numerics bit-for-bit (parity tests) — force the pure-XLA attention
     # path there. The opt-in bf16 fast path may use the kernel dispatcher
-    # ("auto": streaming attention at S>=2048 grids on TPU).
-    net = UNet.from_config(model_dict, dtype=dtype,
-                           use_pallas=("auto" if dtype is not None else False))
+    # ("auto": streaming attention at S>=2048 grids on TPU). Callers pass
+    # use_pallas=False explicitly under spatial partitioning, where the
+    # kernels' batch-only partitioning would replicate attention sp times
+    # (parallel/sp.py).
+    if use_pallas is None:
+        use_pallas = "auto" if dtype is not None else False
+    net = UNet.from_config(model_dict, dtype=dtype, use_pallas=use_pallas)
     model_path = os.path.join(bundle_folder, model_dict["model_name"])
     if not os.path.isfile(model_path):
         raise FileNotFoundError(

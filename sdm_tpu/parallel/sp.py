@@ -19,17 +19,22 @@ This is the "sequence parallelism" of a conv net: the image plane is the
 sequence. Enable via config `"sp": <int>` (train loop); composes with DP on
 the leading mesh axis and with FSDP (state sharded over "data" as usual).
 
-Interaction with the Pallas kernels (use_pallas "auto"/True at S>=2048):
-`kernels/partitioning.batch_partitioned` declares every non-batch dim
-need-replication, so under SP the partitioner all-gathers the token axis
-before the kernel and each space-group member computes the full attention
-redundantly — numerically correct by construction, with sp× redundant
-work on the ~6% attention share of a 256² step (BASELINE.md per-op split);
-the conv activations, which are the memory problem SP exists to solve,
-stay sharded. A space-aware kernel partition (ring attention over H) is
-the documented extension point if attention ever dominates; validating
-the gather path end-to-end needs real multi-chip hardware (the CPU
-interpret-mode kernels bypass custom_partitioning and cannot exercise it).
+Attention under SP is space-aware on the pure-XLA path, and sp>1 forces
+that path. The Pallas kernels' `kernels/partitioning.batch_partitioned`
+declares every non-batch dim need-replication, so under SP they would make
+the partitioner all-gather the token axis and give every space-group member
+the full attention computation redundantly (sp× work on the attention share
+of the step). The XLA attention einsums, by contrast, GSPMD-shards along
+the query/token axis: queries (and the q-axis softmax stats) stay H-sharded,
+keys/values are all-gathered once, and each chip does S/sp × S of the S²
+score work — 1× total FLOPs, same as single-device (asserted by the
+per-device cost_analysis scaling test in tests/test_sp.py). The train loop
+(run_training) and the generator CLIs therefore override use_pallas to
+False whenever sp > 1. A fully gather-free kernel (ring attention over H)
+remains the extension point if the one K/V all-gather ever shows up on a
+profile; validating the kernels' gather path end-to-end needs real
+multi-chip hardware (the CPU interpret-mode kernels bypass
+custom_partitioning and cannot exercise it).
 """
 
 from __future__ import annotations

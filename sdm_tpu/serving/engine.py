@@ -61,6 +61,7 @@ class SamplerEngine:
                  use_ema: bool = False, guidance: bool = False,
                  num_devices: Optional[int] = None,
                  output_dtype: str = "float32",
+                 karras: bool = False,
                  log=print):
         import jax
         import jax.numpy as jnp
@@ -68,12 +69,16 @@ class SamplerEngine:
                                         load_bundle_config)
         from sdm_tpu.diffusion.samplers import (cold_sample, ddim_sample,
                                                 ddpm_sample, dpmpp_sample,
-                                                heun_sample)
+                                                heun_sample,
+                                                karras_steps_matching)
 
         if diff_alg not in ("ddim", "ddpm", "cold", "dpmpp", "heun"):
             raise ValueError(
                 f"diff_alg must be ddim/ddpm/cold/dpmpp/heun, "
                 f"got {diff_alg!r}")
+        if karras and diff_alg == "ddpm":
+            raise ValueError("karras spacing applies to skip-list samplers "
+                             "(ddim/dpmpp/heun/cold), not ddpm")
         if output_dtype not in ("float32", "uint8"):
             raise ValueError(
                 f"output_dtype must be float32/uint8, got {output_dtype!r}")
@@ -159,21 +164,25 @@ class SamplerEngine:
                     return _f(p)
 
             mn, mx = model_dict["min_noise"], model_dict["max_noise"]
+            # --karras feature parity with the generator CLIs: swap the
+            # uniform skip list for the rho-7 spacing at equal step count.
+            kst = (karras_steps_matching(mn, mx, step_size, schedule)
+                   if karras else None)
             if self.diff_alg == "ddim":
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
-                        _s=schedule, _mn=mn, _mx=mx):
+                        _s=schedule, _mn=mn, _mx=mx, _kst=kst):
                     return ddim_sample(_mk(p, gs), _s, x_t, min_noise=_mn,
                                        max_noise=_mx,
-                                       ddim_step_size=step_size,
+                                       ddim_step_size=step_size, steps=_kst,
                                        labels=labels)
             elif self.diff_alg in ("dpmpp", "heun"):
                 _sf = dpmpp_sample if self.diff_alg == "dpmpp" \
                     else heun_sample
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
-                        _s=schedule, _mn=mn, _mx=mx, _sf=_sf):
+                        _s=schedule, _mn=mn, _mx=mx, _sf=_sf, _kst=kst):
                     return _sf(_mk(p, gs), _s, x_t, min_noise=_mn,
                                max_noise=_mx, step_size=step_size,
-                               labels=labels)
+                               steps=_kst, labels=labels)
             elif self.diff_alg == "ddpm":
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
                         _s=schedule, _mn=mn, _mx=mx):
@@ -182,10 +191,10 @@ class SamplerEngine:
                                        labels=labels)
             else:
                 def run(p, x_t, rng, noise, cond, labels, gs, _mk=mk_fn,
-                        _s=schedule, _mn=mn, _mx=mx):
+                        _s=schedule, _mn=mn, _mx=mx, _kst=kst):
                     return cold_sample(_mk(p, gs), _s, x_t, noise,
                                        min_noise=_mn, max_noise=_mx,
-                                       skip_step_size=step_size,
+                                       skip_step_size=step_size, steps=_kst,
                                        cond_img=cond, labels=labels)
 
             # Dispatch-fused single-request programs (the common serving

@@ -300,6 +300,19 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     compute_dtype = {"bfloat16": jnp.bfloat16, "float32": None,
                      "fp32": None, "bf16": jnp.bfloat16}[
                          str(config_dict.get("compute_dtype", "bfloat16")).lower()]
+    if int(config_dict.get("sp", 1)) > 1 and \
+            config_dict.get("use_pallas", "auto") is not False:
+        # Under spatial partitioning the Pallas kernels would force H
+        # all-gathers and sp-times redundant attention work (their
+        # custom_partitioning declares non-batch dims replicated,
+        # parallel/sp.py) — the XLA path lets GSPMD shard the attention
+        # einsums at 1x FLOPs (queries stay H-sharded, keys/values
+        # gathered; asserted in tests/test_sp.py), so force it.
+        if config_dict.get("use_pallas") is True:
+            logging.info('"sp" > 1: overriding use_pallas=True to False — '
+                         "the kernels would replicate attention sp times; "
+                         "the XLA path shards it at 1x work.")
+        config_dict = dict(config_dict, use_pallas=False)
     net = UNet.from_config(config_dict, dtype=compute_dtype)
 
     rng = jax.random.PRNGKey(seed)

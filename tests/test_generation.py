@@ -393,3 +393,24 @@ def test_inpainting_keeps_known_region(tmp_path):
             "-c", cfg_path, "-n", "1", "--diff_alg", "ddim", "-T", "20",
             "--inpaint_img_path", known_path,
         ], log=lambda *a, **k: None, save_locally=False)
+
+
+def test_cold_generator_karras(tmp_path):
+    """--karras on the cold generator (cold_sample steps= extension,
+    VERDICT r3 item 7): rho-spaced list, same step count as the uniform
+    one — output changes but stays finite and shaped."""
+    _, p = _save_ref_ckpt(tmp_path, "ck.pt", seed=9, img_recon=True)
+    bundle = export_bundle(
+        "coldkar", str(tmp_path), img_c=3, img_h=16, img_w=16,
+        model_type="BASE-COLD",
+        entries=[(_train_cfg(1, 20, img_recon=True), p)])
+    config = os.path.join(bundle, "config.json")
+    base = ["-c", config, "-n", "2", "-s", "3", "-T", "20",
+            "--cold_step_size", "4"]
+    quiet = dict(save_locally=False, log=lambda *a, **k: None)
+    uni = np.asarray(generate_images_cold_diffusion(base, **quiet))
+    kar = np.asarray(generate_images_cold_diffusion(base + ["--karras"],
+                                                    **quiet))
+    assert uni.shape == kar.shape == (2, 16, 16, 3)
+    assert np.isfinite(kar).all()
+    assert np.abs(kar - uni).max() > 1e-7

