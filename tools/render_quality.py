@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Render the quality-campaign summary into QUALITY.md's results table.
+
+Reads the `summary.json` written by tools/quality_campaign.py stage
+`aggregate` and emits a markdown table (one row per eval variant, FID/KID
+vs the shared real set, ordered worst-case-cost last). With --write, the
+table replaces the block between the `<!-- RESULTS_TABLE` marker and the
+next `## ` heading in QUALITY.md, so the doc regenerates from the raw
+numbers with one command:
+
+    python tools/render_quality.py --summary /tmp/qc/results/summary.json --write
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# variant -> (objective/run, sampler description, model calls per image)
+ROWS = [
+    ("real_vs_real", "—", "real half A vs half B (metric floor)", "—"),
+    ("eps_ddpm1000", "eps+EMA", "DDPM, 1000 steps", 1000),
+    ("eps_ddim50", "eps+EMA", "DDIM, 50 steps", 50),
+    ("eps_ddim50_noema", "eps (raw weights)", "DDIM, 50 steps", 50),
+    ("minsnr_ddim50", "eps+min-SNR-5+EMA", "DDIM, 50 steps", 50),
+    ("v_ddim50", "V+EMA", "DDIM, 50 steps", 50),
+    ("eps_ddim10", "eps+EMA", "DDIM, 10 steps", 10),
+    ("eps_dpmpp10", "eps+EMA", "DPM-Solver++(2M), 10 steps", 10),
+    ("eps_dpmpp10_karras", "eps+EMA", "DPM-Solver++(2M), 10 Karras steps", 10),
+    ("v_dpmpp10", "V+EMA", "DPM-Solver++(2M), 10 steps", 10),
+    ("eps_heun10", "eps+EMA", "Heun, 10 steps", 19),
+    ("eps_heun10_karras", "eps+EMA", "Heun, 10 Karras steps", 19),
+    ("distill4_5calls", "eps distilled (ss250)", "DDIM, 5 steps", 5),
+    ("eps_ddim3calls", "eps+EMA (teacher)", "DDIM, 3 steps", 3),
+    ("distill2_3calls", "eps distilled (ss500)", "DDIM, 3 steps", 3),
+    ("eps_ddim2calls", "eps+EMA (teacher)", "DDIM, 2 steps", 2),
+    ("distill1_2calls", "eps distilled (ss1000)", "DDIM, 2 steps", 2),
+]
+
+MARKER = "<!-- RESULTS_TABLE"
+
+
+def fmt(v, digits=2):
+    return f"{v:.{digits}f}" if isinstance(v, (int, float)) else "—"
+
+
+def render(summary: dict) -> str:
+    variants = summary.get("variants", {})
+    lines = [
+        "| variant | weights | sampler | model calls | FID ↓ | KID ×10³ ↓ |",
+        "|---|---|---|---|---|---|",
+    ]
+    seen = set()
+    for name, run, sampler, calls in ROWS:
+        r = variants.get(name)
+        if r is None:
+            continue
+        seen.add(name)
+        kid = (f"{r['kid'] * 1e3:.2f} ± {r['kid_std'] * 1e3:.2f}"
+               if "kid" in r else "—")
+        lines.append(f"| {name} | {run} | {sampler} | {calls} | "
+                     f"{fmt(r.get('fid'))} | {kid} |")
+    for name in sorted(set(variants) - seen):  # anything ROWS doesn't know
+        r = variants[name]
+        kid = (f"{r['kid'] * 1e3:.2f} ± {r['kid_std'] * 1e3:.2f}"
+               if "kid" in r else "—")
+        lines.append(f"| {name} |  |  |  | {fmt(r.get('fid'))} | {kid} |")
+    meta = [
+        "",
+        f"{summary.get('steps', '?')} training steps per run; "
+        f"{variants.get('eps_ddim50', {}).get('n_generated', '?')} generated "
+        f"vs {variants.get('eps_ddim50', {}).get('n_real', '?')} real images "
+        "per row; fixed-seed randconv features (relative ordering is the "
+        "claim — see Setup). Raw JSONs + grids: `docs/quality/`.",
+    ]
+    return "\n".join(lines + meta) + "\n"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--summary", default="/tmp/qc/results/summary.json")
+    ap.add_argument("--write", action="store_true",
+                    help="patch QUALITY.md in place (default: print)")
+    a = ap.parse_args()
+    summary = json.load(open(a.summary))
+    table = render(summary)
+    if not a.write:
+        print(table)
+        return
+    qpath = os.path.join(REPO, "QUALITY.md")
+    text = open(qpath).read()
+    start = text.index(MARKER)
+    start = text.index("\n", start) + 1  # keep the marker line
+    end = text.index("\n## ", start)
+    open(qpath, "w").write(text[:start] + "\n" + table + text[end:])
+    print(f"QUALITY.md results table updated from {a.summary}")
+
+
+if __name__ == "__main__":
+    main()
