@@ -230,19 +230,21 @@ def eval_variants(tiny: bool) -> list:
          f"--diff_alg ddim --ddim_step_size 1000 {ema}"),
         ("eps_ddim3calls", "eps",
          f"--diff_alg ddim --ddim_step_size 500 {ema}"),
-        ("eps_ddpm1000", "eps", f"--diff_alg ddpm {ema}"),
         ("eps_ddim50_noema", "eps",
          "--diff_alg ddim --ddim_step_size 20 --dtype bfloat16"),
         ("minsnr_ddim50", "minsnr",
          f"--diff_alg ddim --ddim_step_size 20 {ema}"),
         ("v_ddim50", "v", f"--diff_alg ddim --ddim_step_size 20 {ema}"),
-        ("eps_heun10_karras", "eps",
-         f"--diff_alg heun --ddim_step_size 100 --karras {ema}"),
-        ("distill4_5calls", "distill250",
-         "--diff_alg ddim --ddim_step_size 250 --dtype bfloat16"),
         ("eps_dpmpp10_karras", "eps",
          f"--diff_alg dpmpp --ddim_step_size 100 --karras {ema}"),
         ("eps_heun10", "eps", f"--diff_alg heun --ddim_step_size 100 {ema}"),
+        ("eps_heun10_karras", "eps",
+         f"--diff_alg heun --ddim_step_size 100 --karras {ema}"),
+        # expensive / nice-to-have rows last, so a wall-clock cutoff costs
+        # the least informative numbers first
+        ("eps_ddpm1000", "eps", f"--diff_alg ddpm {ema}"),
+        ("distill4_5calls", "distill250",
+         "--diff_alg ddim --ddim_step_size 250 --dtype bfloat16"),
         ("v_dpmpp10", "v", f"--diff_alg dpmpp --ddim_step_size 100 {ema}"),
     ]
     if tiny:  # plumbing smoke: one variant per mechanism
