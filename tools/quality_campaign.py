@@ -311,6 +311,18 @@ def stage_evals(a, timings):
         _save_grid(imgs, real_grid, print)
 
 
+def stage_demos(a, timings):
+    """Extension demo grids (img2img / inpainting) from the converged eps
+    bundle — tools/extension_demos.py, resumable via its own grid-exists
+    checks."""
+    grids = os.path.join(a.workdir, "results", "grids")
+    if os.path.exists(os.path.join(grids, "inpaint_left_kept.jpg")):
+        print("[demos] exists")
+        return
+    sh([sys.executable, "tools/extension_demos.py", "--workdir", a.workdir],
+       os.path.join(a.workdir, "logs", "demos.log"), timings, "demos")
+
+
 def stage_aggregate(a, timings):
     results = os.path.join(a.workdir, "results")
     summary = {"steps": a.steps, "eval_n": a.eval_n, "tiny": a.tiny,
@@ -346,7 +358,7 @@ def main():
     ap.add_argument("--only", default=None,
                     help="run just this stage (dataset/train_eps/"
                          "cache_probe/train_minsnr/train_v/distill/export/"
-                         "evals/aggregate)")
+                         "evals/demos/aggregate)")
     a = ap.parse_args()
     if a.tiny:
         a.workdir = a.workdir + "_tiny"
@@ -375,6 +387,7 @@ def main():
         ("distill", lambda: stage_distill(a, timings)),
         ("export", lambda: stage_export(a, timings)),
         ("evals", lambda: stage_evals(a, timings)),
+        ("demos", lambda: stage_demos(a, timings)),
         ("aggregate", lambda: stage_aggregate(a, timings)),
     ]
     t0 = time.time()
