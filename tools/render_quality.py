@@ -14,8 +14,10 @@ numbers with one command:
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
+import shutil
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -79,13 +81,39 @@ def render(summary: dict) -> str:
     return "\n".join(lines + meta) + "\n"
 
 
+def publish(results_dir: str) -> None:
+    """Copy the campaign's durable artifacts (result JSONs, sample grids,
+    stage wall-clock record) from the workdir into docs/quality/ so they
+    are committed next to QUALITY.md; heavy artifacts (checkpoints,
+    datasets, generated-image dirs) stay in the workdir."""
+    dst = os.path.join(REPO, "docs", "quality")
+    os.makedirs(os.path.join(dst, "grids"), exist_ok=True)
+    n = 0
+    for p in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
+        shutil.copy2(p, os.path.join(dst, os.path.basename(p)))
+        n += 1
+    for p in sorted(glob.glob(os.path.join(results_dir, "grids", "*.jpg"))):
+        shutil.copy2(p, os.path.join(dst, "grids", os.path.basename(p)))
+        n += 1
+    times = os.path.join(os.path.dirname(results_dir), "stage_times.json")
+    if os.path.exists(times):
+        shutil.copy2(times, os.path.join(dst, "stage_times.json"))
+        n += 1
+    print(f"published {n} artifacts to {dst}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--summary", default="/tmp/qc/results/summary.json")
     ap.add_argument("--write", action="store_true",
                     help="patch QUALITY.md in place (default: print)")
+    ap.add_argument("--publish", action="store_true",
+                    help="also copy result JSONs/grids/stage_times into "
+                         "docs/quality/")
     a = ap.parse_args()
     summary = json.load(open(a.summary))
+    if a.publish:
+        publish(os.path.dirname(os.path.abspath(a.summary)))
     table = render(summary)
     if not a.write:
         print(table)
