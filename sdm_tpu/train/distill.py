@@ -114,7 +114,8 @@ def distill_target(apply_teacher: Callable, schedule,
 
 def make_distill_step(apply_fn: Callable, schedule, tx, *,
                       step_list: List[int],
-                      objective=None) -> Callable:
+                      objective=None,
+                      grad_clip_norm: Optional[float] = None) -> Callable:
     """Build the jitted distillation step.
 
     apply_fn(params, x, t, labels) -> eps prediction (the same callable the
@@ -203,6 +204,16 @@ def make_distill_step(apply_fn: Callable, schedule, tx, *,
                      batch: Dict[str, jnp.ndarray], rng: jax.Array):
         loss, grads = jax.value_and_grad(_loss)(state.params, teacher_params,
                                                 batch, rng)
+        if grad_clip_norm is not None:
+            # Same direct pre-Adam clip as make_train_step (train/step.py):
+            # the truncated-SNR weight reaches ~SNR(t_min) (hundreds), so a
+            # rare low-t-heavy batch can spike the gradient and poison the
+            # Adam moments — the trainer-documented divergence mode (README
+            # grad-clip section) observed on the converged flagship distill.
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(
+                1.0, jnp.float32(grad_clip_norm) / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
@@ -331,6 +342,10 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
     lr = float(distill_lr if distill_lr is not None
                else config_dict["diffusion_lr"])
     lr_steps = int(config_dict["lr_steps"])
+    grad_clip_norm = config_dict.get("grad_clip_norm")
+    if grad_clip_norm is not None:
+        grad_clip_norm = float(grad_clip_norm)
+        log(f"Gradient clipping (global L2 norm): {grad_clip_norm}")
     mesh = auto_data_mesh(batch_size, num_devices)
     apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
 
@@ -359,7 +374,8 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
         state = create_train_state(jax.tree.map(jnp.array, teacher_params), tx)
         step_fn = jax.jit(
             make_distill_step(apply_fn, schedule, tx, step_list=step_list,
-                              objective=objective),
+                              objective=objective,
+                              grad_clip_norm=grad_clip_norm),
             donate_argnums=(0,))
 
         last = float("nan")

@@ -126,6 +126,61 @@ def test_distill_step_decreases_loss():
     assert np.mean(losses[-8:]) < 0.5 * np.mean(losses[:8]), losses
 
 
+def test_distill_grad_clip_matches_scaled_gradient():
+    """grad_clip_norm on the distill step (same direct pre-optimizer clip as
+    make_train_step): with SGD(1.0) the parameter delta IS the gradient, so
+    a tight clip must rescale the delta to exactly clip/||g|| of the
+    unclipped one, and a loose clip must be a bit-identical no-op. (The
+    truncated-SNR weight makes distillation gradients heavy-tailed — the
+    converged-flagship divergence this guards against, QUALITY.md.)"""
+    import optax
+
+    net = _tiny_net()
+    schedule = make_schedule("LINEAR", beta_1=0.02, beta_T=0.2,
+                             max_noise_step=50)
+    x0 = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    t0 = jnp.array([1], jnp.int32)
+    # Student != teacher so the distill gradient is far from the
+    # self-consistency zero — the param-delta probe below would otherwise
+    # drown in fp32 cancellation noise.
+    params = net.init(jax.random.PRNGKey(3), x0, t0, None)["params"]
+    apply_fn = lambda p, x, t, l: net.apply({"params": p}, x, t, l)
+    teacher = jax.tree.map(
+        jnp.asarray, net.init(jax.random.PRNGKey(2), x0, t0, None)["params"])
+    tx = optax.sgd(1.0)
+    step_list = ddim_step_list(1, 50, 10)
+    rng = np.random.default_rng(7)
+    batch = {"image": jnp.asarray(
+        rng.uniform(-1.0, 1.0, (4, 8, 8, 3)).astype(np.float32))}
+    key = jax.random.PRNGKey(5)
+
+    def delta(clip):
+        step = jax.jit(make_distill_step(apply_fn, schedule, tx,
+                                         step_list=step_list,
+                                         grad_clip_norm=clip))
+        new_state, _ = step(create_train_state(
+            jax.tree.map(jnp.array, params), tx), teacher, batch, key)
+        return jax.tree.map(lambda a, b: np.asarray(a) - np.asarray(b),
+                            params, new_state.params)
+
+    grads = delta(None)  # -update == gradient under sgd(1.0)
+    gnorm = float(optax.global_norm(grads))
+    assert gnorm > 0
+
+    loose = delta(gnorm * 10.0)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(loose)):
+        np.testing.assert_array_equal(a, b)
+
+    clip = gnorm / 4.0
+    tight = delta(clip)
+    for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(tight)):
+        # atol: the param-delta probe quantizes each delta to the fp32 ulp
+        # of the ~0.5-magnitude params (~6e-8); a missing/wrong clip would
+        # be a 4x (300%) relative error, far outside these tolerances.
+        np.testing.assert_allclose(a * (clip / gnorm), b,
+                                   rtol=1e-4, atol=2e-7)
+
+
 def test_v_mode_distill_step_equals_eps_mode_on_same_function():
     """objective=V distillation must optimize the SAME loss as eps-mode when
     the v-model is the exact algebraic counterpart of the eps-model
