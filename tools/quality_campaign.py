@@ -74,7 +74,13 @@ def flagship_config(workdir: str, name: str, *, tiny: bool, steps: int,
         time_dim=512, min_channel=128, max_channel=512, img_recon=False,
         compute_dtype="bfloat16", seed=11,
         ema_decay=0.999, grad_clip_norm=1.0,
-        epoch_checkpoint_every=10 ** 9,
+        # Checkpoint hygiene on this host (VERDICT r4 weak #4): the device->
+        # host parameter fetch costs ~7 min over the tunnel, so save rarely
+        # (every ~100 epochs as a crash net) and on the async worker thread.
+        epoch_checkpoint_every=100,
+        async_checkpoint=True,
+        # Decode the 8k-image dataset once per process, not once per epoch.
+        cache_dataset=True,
     )
     if tiny:
         cfg.update(num_layers=2, attn_layers=[1], time_dim=32,
@@ -109,12 +115,16 @@ def sh(cmd: list, log_path: str, timings: dict, stage: str) -> None:
                            f"log tail:\n{tail}")
 
 
+def ckpt_step(path: str) -> int:
+    return int(path.rsplit("_", 1)[1].split(".")[0])
+
+
 def newest_ckpt(out_dir: str, pattern: str) -> str:
     paths = glob.glob(os.path.join(out_dir, "checkpoint", pattern))
     if not paths:
         raise FileNotFoundError(
             f"no checkpoint matching {pattern} under {out_dir}")
-    return max(paths, key=lambda p: int(p.rsplit("_", 1)[1].split(".")[0]))
+    return max(paths, key=ckpt_step)
 
 
 def save_timings(workdir: str, timings: dict) -> None:
@@ -139,14 +149,26 @@ def stage_dataset(a, timings):
 def stage_train(a, timings, name: str, **over):
     cfg = flagship_config(a.workdir, name, tiny=a.tiny, steps=a.steps, **over)
     cfg_path = os.path.join(a.workdir, f"{name}.json")
-    with open(cfg_path, "w") as f:
-        json.dump(cfg, f, indent=1)
+    # Resume-to-target: a checkpoint short of --steps resumes (full Adam +
+    # EMA state via load_diffusion_optim; step count from config_checkpoint)
+    # instead of skipping — VERDICT r4 item 1a wants the 10k-step runs
+    # extended to an actual plateau, not retrained.
     try:
         ckpt = newest_ckpt(cfg["out_dir"], "diffusion_*.pt")
-        print(f"[train_{name}] exists ({ckpt})")
-        return
+        have = ckpt_step(ckpt)
+        if have >= a.steps:
+            print(f"[train_{name}] exists ({ckpt})")
+            with open(cfg_path, "w") as f:
+                json.dump(cfg, f, indent=1)
+            return
+        cfg.update(model_checkpoint=ckpt, load_diffusion_optim=True,
+                   config_checkpoint=os.path.join(
+                       cfg["out_dir"], "checkpoint", f"config_{have}.pt"))
+        print(f"[train_{name}] resuming {have} -> {a.steps} steps")
     except FileNotFoundError:
         pass
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f, indent=1)
     sh([sys.executable, "train_diffusion.py", "--config-path", cfg_path,
         "--steps", str(a.steps)],
        os.path.join(a.workdir, "logs", f"train_{name}.log"),
@@ -342,7 +364,7 @@ def stage_aggregate(a, timings):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/qc")
-    ap.add_argument("--steps", type=int, default=10_000)
+    ap.add_argument("--steps", type=int, default=40_000)
     ap.add_argument("--distill-steps", type=int, default=2_000,
                     help="optimizer steps per distillation phase")
     ap.add_argument("--dataset-n", type=int, default=8_000)
@@ -362,7 +384,10 @@ def main():
     a = ap.parse_args()
     if a.tiny:
         a.workdir = a.workdir + "_tiny"
-        a.steps, a.distill_steps = 12, 6
+        if a.steps == ap.get_default("steps"):
+            a.steps = 12
+        if a.distill_steps == ap.get_default("distill_steps"):
+            a.distill_steps = 6
         a.dataset_n, a.eval_n, a.eval_batch, a.max_real = 256, 48, 24, 256
     if a.cpu:
         # Drop the axon sitecustomize dir from PYTHONPATH (it pins
