@@ -326,7 +326,6 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     params = net.init(init_rng, init_x, init_t, init_cond)["params"]
 
     load_diffusion_optim = config_dict["load_diffusion_optim"]
-    tx = make_optimizer(diffusion_lr, lr_steps)
 
     pending_optimizer = None
     pending_ema = None
@@ -357,6 +356,25 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             beta_T = cfg_ckpt["beta_T"]
         starting_epoch = cfg_ckpt["starting_epoch"]
         global_steps = cfg_ckpt["global_steps"]
+
+    # Resume LR parity (train_diffusion.py:219-220): torch's
+    # optim.load_state_dict restores the param_groups' checkpointed lr, so
+    # with load_diffusion_optim the run continues at the SAVED lr (halving
+    # every lr_steps from there) — even when the config's diffusion_lr or
+    # lr_steps changed since the checkpointed run. Recomputing from the
+    # config instead can jump a converged model back to a hot LR (observed:
+    # instant divergence on the shapes flagship resume).
+    resume_lr = None
+    if pending_optimizer is not None:
+        pgs = pending_optimizer.get("param_groups") or []
+        if pgs and pgs[0].get("lr") is not None:
+            resume_lr = float(pgs[0]["lr"])
+            logging.info(f"Resuming at checkpointed LR {resume_lr:.9f} "
+                         f"(halving every {lr_steps:,} steps).")
+    tx = make_optimizer(diffusion_lr, lr_steps, resume_lr=resume_lr,
+                        resume_step=global_steps)
+    resume_halvings = (max(0, (global_steps - 1) // lr_steps)
+                       if resume_lr is not None else 0)
 
     schedule = make_schedule(config_dict["noise_scheduler"],
                              beta_1=beta_1 if beta_1 is not None else 5e-3,
@@ -525,7 +543,7 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                 f"trainer (supported: {objective.name}, or V on the "
                 "eps-family trainers)")
 
-    step_fn = jax.jit(
+    step_core = (
         make_train_step(apply_fn, schedule, tx, objective=objective,
                         min_noise_step=min_noise_step,
                         max_actual_noise_step=max_actual_noise_step,
@@ -549,14 +567,18 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
                         grad_clip_norm=(
                             float(config_dict["grad_clip_norm"])
                             if config_dict.get("grad_clip_norm") is not None
-                            else None)),
-        donate_argnums=(0,), **jit_kwargs)
+                            else None)))
+    step_fn = jax.jit(step_core, donate_argnums=(0,), **jit_kwargs)
 
     def lr_of(step_count) -> float:
-        # Pure-python mirror of reference_lr_schedule for logging — avoids
-        # dispatching device ops per log line.
+        # Pure-python mirror of the active schedule (reference_lr_schedule,
+        # or resume_lr_schedule after an optimizer restore) for logging —
+        # avoids dispatching device ops per log line.
         s = int(step_count)
-        return float(diffusion_lr) * 0.5 ** max(0, (s - 1) // lr_steps)
+        halvings = max(0, (s - 1) // lr_steps)
+        if resume_lr is not None:
+            return resume_lr * 0.5 ** max(halvings - resume_halvings, 0)
+        return float(diffusion_lr) * 0.5 ** halvings
 
     # ---- Hyperparameter banner (train_diffusion.py:254-286) ----
     logging.info("#" * 100)
@@ -769,6 +791,39 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
     profile_ctx = trace(config_dict.get("profile_trace_dir"))
     profile_ctx.__enter__()
 
+    # ---- Device-resident fused training (TPU-build extension) ----
+    # Config "device_dataset": true keeps the ENTIRE decoded uint8 dataset
+    # in HBM (one transfer at startup) and runs "steps_per_call" train steps
+    # as ONE jitted lax.scan call: each scan iteration gathers its batch
+    # rows from the resident array by index and runs the identical step_core
+    # the per-step path jits. This removes BOTH per-step host->device batch
+    # transfers and per-step dispatch round-trips — on hosts with a slow or
+    # tunnel-attached device link (where shipping a batch can cost more than
+    # the step computes) it is the difference between host-bound and
+    # device-bound training. Numerics per step are identical to the default
+    # path; only batch ORDER and the rng stream differ (shuffling happens on
+    # a host index stream, one epoch-sized permutation at a time), so the
+    # reference-parity default stays off.
+    if bool(config_dict.get("device_dataset", False)):
+        if multi or sp > 1 or grad_accum > 1:
+            raise ValueError(
+                '"device_dataset" fused training supports single-process '
+                "runs without sp/grad_accum_steps (dp/tp/fsdp compose)")
+        summary = _run_fused_loop(
+            config_dict=config_dict, dataset=dataset,
+            native_decode=native_decode, batch_size=batch_size, seed=seed,
+            mesh=mesh, state=state, rng=rng, step_core=step_core,
+            state_shardings=state_shardings, timer=timer, preempt=preempt,
+            max_steps=max_steps, max_epoch=max_epoch,
+            checkpoint_steps=checkpoint_steps,
+            starting_epoch=starting_epoch, global_steps=global_steps,
+            lr_of=lr_of, submit_checkpoint=submit_checkpoint,
+            finish_checkpoints=finish_checkpoints)
+        _restore_signal_handlers()
+        profile_ctx.__exit__(None, None, None)
+        mh.barrier("train-end")
+        return summary
+
     # Overlapped loss fetch (config "overlapped_loss_fetch", default true):
     # the per-step `float(metrics["loss"])` host fetch blocks until the step
     # finishes, serializing host and device. Deferring the fetch of step k
@@ -954,6 +1009,153 @@ def run_training(spec: TrainerSpec, config_dict: dict, *,
             # Per-step wall intervals (excluding compile) for distribution
             # diagnostics in the bench JSON (median/p90/recompile spikes).
             "step_times": timer.intervals()}
+
+
+def _run_fused_loop(*, config_dict, dataset, native_decode, batch_size, seed,
+                    mesh, state, rng, step_core, state_shardings, timer,
+                    preempt, max_steps, max_epoch, checkpoint_steps,
+                    starting_epoch, global_steps, lr_of, submit_checkpoint,
+                    finish_checkpoints):
+    """Fused device-resident main loop (config "device_dataset": true).
+
+    The decoded uint8 dataset is shipped to device memory once; each device
+    call runs `steps_per_call` train steps as one lax.scan whose body gathers
+    its batch rows by index from the resident array and runs the same
+    step_core the per-step path jits. Shuffling stays host-side: a stream of
+    epoch-sized permutations, cut into (K, batch) index blocks — the only
+    per-call transfers are that index block and the K fetched losses.
+
+    Log lines keep the per-step format ("Cum. Steps: ... | Steps: i/n |
+    Diffusion: avg | LR: ...") so curve tooling parses both paths
+    identically; a chunk's K lines are emitted in a burst after its device
+    call returns, and the NaN guard fires per chunk (before any checkpoint),
+    not per step. --steps may overshoot by up to K-1 steps (chunks are never
+    re-compiled at a shorter length). Step-cadence checkpoints land at the
+    first chunk boundary at or after the configured step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    # One pass through the dataset -> contiguous host arrays -> HBM.
+    load_loader = DataLoader(dataset, batch_size=min(512, len(dataset)),
+                             shuffle=False, num_workers=8, drop_last=False,
+                             native_decode=native_decode)
+    parts = {}
+    for b in load_loader:
+        for k, v in b.items():
+            if isinstance(v, np.ndarray):
+                parts.setdefault(k, []).append(v)
+    if "image" not in parts:
+        raise ValueError('"device_dataset" needs array-valued samples')
+    host = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+    n_rows = host["image"].shape[0]
+    rep = NamedSharding(mesh, P())
+    data_dev = {k: jax.device_put(v, rep) for k, v in host.items()}
+    nbytes = sum(v.nbytes for v in host.values())
+
+    b_sz = min(batch_size, n_rows)
+    steps_per_epoch = max(n_rows // b_sz, 1)
+    k_steps = int(config_dict.get("steps_per_call", 0)) or min(
+        steps_per_epoch, 64)
+    logging.info(
+        "Device-resident dataset: {:,} rows ({:.1f} MiB) in device memory; "
+        "{} steps fused per call.".format(n_rows, nbytes / 2 ** 20, k_steps))
+
+    batch_shardings = {
+        k: NamedSharding(mesh, P(*(("data",) + (None,) * (v.ndim - 1))))
+        for k, v in host.items()}
+
+    def fused_fn(st, data, idx, key):
+        keys = jax.random.split(key, k_steps)
+
+        def body(s, xs):
+            ix, kk = xs
+            batch = {
+                f: jax.lax.with_sharding_constraint(
+                    jnp.take(arr, ix, axis=0), batch_shardings[f])
+                for f, arr in data.items()}
+            s, m = step_core(s, batch, kk)
+            return s, m["loss"]
+
+        st, losses = jax.lax.scan(body, st, (idx, keys))
+        return st, losses
+
+    jit_kwargs = {}
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings,
+                                       NamedSharding(mesh, P()))
+    fused_jit = jax.jit(fused_fn, donate_argnums=(0,), **jit_kwargs)
+
+    perm_rng = np.random.default_rng((int(seed) + 0x9E3779B9) % 2 ** 63)
+    buf = np.empty((0,), np.int64)
+    epoch = starting_epoch
+    epoch_idx = 0      # step index within the current epoch
+    epoch_loss = 0.0
+    last_loss = float("nan")
+    last_ckpt_bucket = global_steps // max(checkpoint_steps, 1)
+    every = int(config_dict.get("epoch_checkpoint_every", 1))
+    stop = False
+
+    while not stop and epoch < max_epoch:
+        while buf.size < k_steps * b_sz:
+            perm = perm_rng.permutation(n_rows)[:steps_per_epoch * b_sz]
+            buf = np.concatenate([buf, perm])
+        idx = buf[:k_steps * b_sz].astype(np.int32).reshape(k_steps, b_sz)
+        buf = buf[k_steps * b_sz:]
+        rng, call_rng = jax.random.split(rng)
+        state, losses_dev = fused_jit(state, data_dev, idx, call_rng)
+        losses = np.asarray(jax.device_get(losses_dev), np.float64)
+        timer.tick()
+        if np.isnan(losses).any():
+            raise Exception("NaN encountered during training")
+        for lv in losses:
+            last_loss = float(lv)
+            epoch_loss += last_loss
+            epoch_idx += 1
+            logging.info(
+                "Cum. Steps: {:,} | Steps: {:,} / {:,} | Diffusion: {:.5f} "
+                "| LR: {:.9f}".format(
+                    global_steps + 1, epoch_idx, steps_per_epoch,
+                    epoch_loss / epoch_idx, lr_of(global_steps)))
+            global_steps += 1
+            if epoch_idx == steps_per_epoch:
+                logging.info(
+                    "Epoch: {:,} | Diffusion: {:.5f} | LR: {:.9f}".format(
+                        epoch, epoch_loss / steps_per_epoch,
+                        lr_of(global_steps)))
+                epoch += 1
+                epoch_idx = 0
+                epoch_loss = 0.0
+                if every >= 1 and epoch % every == 0:
+                    rng, ck_rng = jax.random.split(rng)
+                    submit_checkpoint(state, ck_rng, global_steps,
+                                      with_preview=False)
+        bucket = global_steps // max(checkpoint_steps, 1)
+        if bucket > last_ckpt_bucket:
+            last_ckpt_bucket = bucket
+            rng, ck_rng = jax.random.split(rng)
+            submit_checkpoint(state, ck_rng, global_steps)
+            iv = timer.intervals()
+            if iv:
+                logging.info(
+                    "Rate: {:.3f} steps/sec | {:.1f} imgs/sec".format(
+                        k_steps / iv[-1], k_steps * b_sz / iv[-1]))
+        if preempt["flag"] or (max_steps is not None
+                               and global_steps >= max_steps):
+            stop = True
+
+    rng, ck_rng = jax.random.split(rng)
+    submit_checkpoint(state, ck_rng, global_steps,
+                      with_preview=not preempt["flag"])
+    if preempt["flag"]:
+        logging.info("Preempted: checkpointed at step {:,}; exiting.".format(
+            global_steps))
+    finish_checkpoints()
+    iv = timer.intervals()
+    per_step = [s / k_steps for s in iv for _ in range(k_steps)]
+    sps = (k_steps * len(iv) / sum(iv)) if iv else float("nan")
+    return {"global_steps": global_steps, "last_loss": last_loss,
+            "preempted": preempt["flag"], "state": state,
+            "steps_per_sec": sps, "step_times": per_step}
 
 
 def main(spec: TrainerSpec, raw_args=None):

@@ -60,10 +60,35 @@ def reference_lr_schedule(base_lr: float, lr_steps: int) -> Callable:
     return schedule
 
 
-def make_optimizer(base_lr: float, lr_steps: int) -> optax.GradientTransformation:
-    """Adam(betas=(0.5, 0.999), eps=1e-8) as in train_diffusion.py:214-217."""
-    return optax.adam(reference_lr_schedule(base_lr, lr_steps),
-                      b1=0.5, b2=0.999, eps=1e-8)
+def resume_lr_schedule(resume_lr: float, lr_steps: int,
+                       resume_step: int) -> Callable:
+    """Schedule continuing from a restored optimizer's saved lr.
+
+    torch's optim.load_state_dict restores the param_groups' checkpointed
+    lr (train_diffusion.py:219-220), so a reference resume with
+    load_diffusion_optim continues at the SAVED lr — even when the config's
+    diffusion_lr/lr_steps changed — and keeps halving whenever global_steps
+    crosses a multiple of lr_steps. Step resume_step+1 sees exactly
+    resume_lr; each later lr_steps boundary halves it."""
+    base_halvings = max(0, (resume_step - 1) // lr_steps)
+
+    def schedule(count):
+        exponent = jnp.maximum(
+            jnp.maximum(0, (count - 1) // lr_steps) - base_halvings, 0)
+        return resume_lr * jnp.power(0.5, exponent.astype(jnp.float32))
+    return schedule
+
+
+def make_optimizer(base_lr: float, lr_steps: int,
+                   resume_lr: Optional[float] = None,
+                   resume_step: int = 0) -> optax.GradientTransformation:
+    """Adam(betas=(0.5, 0.999), eps=1e-8) as in train_diffusion.py:214-217.
+
+    resume_lr (from a restored checkpoint's optimizer param_groups) switches
+    the schedule to resume_lr_schedule — reference load_state_dict parity."""
+    sched = (reference_lr_schedule(base_lr, lr_steps) if resume_lr is None
+             else resume_lr_schedule(resume_lr, lr_steps, resume_step))
+    return optax.adam(sched, b1=0.5, b2=0.999, eps=1e-8)
 
 
 def create_train_state(params, tx: optax.GradientTransformation,

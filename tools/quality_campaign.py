@@ -81,6 +81,12 @@ def flagship_config(workdir: str, name: str, *, tiny: bool, steps: int,
         async_checkpoint=True,
         # Decode the 8k-image dataset once per process, not once per epoch.
         cache_dataset=True,
+        # Fused device-resident training (train/loop.py _run_fused_loop):
+        # the decoded dataset lives in HBM and an epoch of steps runs as one
+        # lax.scan call — removes the per-step batch transfer over the
+        # tunnel-attached device link that made round-4 trainings 2-3x
+        # slower than the device-bound rate.
+        device_dataset=True,
     )
     if tiny:
         cfg.update(num_layers=2, attn_layers=[1], time_dim=32,
