@@ -565,13 +565,25 @@ def main():
     parser.add_argument("--batch", type=int, default=None)
     parser.add_argument("--pallas", action="store_true",
                         help="Use fused Pallas kernels where available.")
-    parser.add_argument("--train-baseline", type=float, default=5.0,
-                        help="Control steps/sec for the train64 metric.")
+    parser.add_argument("--train-baseline", type=float, default=None,
+                        help="MEASURED control steps/sec for the train64 "
+                             "metric (e.g. the reference on an A100). "
+                             "Default: the 5.0 steps/sec proxy recorded in "
+                             "BASELINE.json — unmeasurable in this "
+                             "environment, so the JSON then carries "
+                             "baseline_source: \"proxy\".")
     parser.add_argument("--peak-tflops", type=float, default=PEAK_TFLOPS,
                         help="Chip bf16 peak for the MFU field.")
     parser.add_argument("--skip-e2e", action="store_true",
                         help="train64: omit the end-to-end pipeline run.")
     args = parser.parse_args()
+    # vs_baseline self-description (VERDICT r4 weak #5): when no measured
+    # control is supplied, the denominator is the BASELINE.json proxy and
+    # the emitted JSON says so.
+    baseline_source = ("measured" if args.train_baseline is not None
+                       else "proxy")
+    if args.train_baseline is None:
+        args.train_baseline = 5.0
 
     def perf_fields(flop_rate):
         if not flop_rate:
@@ -670,6 +682,8 @@ def main():
             "value": round(value, 3),
             "unit": "steps/sec/chip",
             "vs_baseline": round(value / args.train_baseline, 4),
+            "baseline_source": baseline_source,
+            "baseline_steps_per_sec": args.train_baseline,
             **diag,
         }))
     else:
@@ -715,6 +729,8 @@ def main():
             "value": round(value, 3),
             "unit": "steps/sec/chip",
             "vs_baseline": round(value / args.train_baseline, 4),
+            "baseline_source": baseline_source,
+            "baseline_steps_per_sec": args.train_baseline,
             **extra,
         }))
 

@@ -169,7 +169,10 @@ def test_distill_grad_clip_matches_scaled_gradient():
 
     loose = delta(gnorm * 10.0)
     for a, b in zip(jax.tree.leaves(grads), jax.tree.leaves(loose)):
-        np.testing.assert_array_equal(a, b)
+        # Not assert_array_equal: the loose-clip program still multiplies by
+        # g*1.0 — exact on CPU (where conftest pins the suite), but backends
+        # that flush subnormals could flip subnormal gradient bits.
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
 
     clip = gnorm / 4.0
     tight = delta(clip)

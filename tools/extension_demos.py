@@ -51,7 +51,11 @@ def main():
     if not os.path.exists(cfg):
         raise SystemExit(f"bundle {cfg} missing — run the campaign's "
                          "export stage first")
-    src = sorted(glob.glob(os.path.join(a.workdir, "shapes", "*.jpg")))[0]
+    shapes = sorted(glob.glob(os.path.join(a.workdir, "shapes", "*.jpg")))
+    if not shapes:
+        raise SystemExit("shapes dataset missing — run the campaign's "
+                         "dataset stage first")
+    src = shapes[0]
 
     img = cv2.imread(src)
     _save_grid(((img[None].astype(np.float32) - 127.5) / 127.5),

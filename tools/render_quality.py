@@ -120,9 +120,19 @@ def main():
         return
     qpath = os.path.join(REPO, "QUALITY.md")
     text = open(qpath).read()
-    start = text.index(MARKER)
+    try:
+        start = text.index(MARKER)
+    except ValueError:
+        raise SystemExit(
+            f"QUALITY.md is missing the results-table marker {MARKER!r} — "
+            "restore it (comment line above the results section) so --write "
+            "knows where to patch")
     start = text.index("\n", start) + 1  # keep the marker line
-    end = text.index("\n## ", start)
+    # Patch up to the next section heading, or to end-of-file when the
+    # marker sits in the last section.
+    end = text.find("\n## ", start)
+    if end == -1:
+        end = len(text)
     open(qpath, "w").write(text[:start] + "\n" + table + text[end:])
     print(f"QUALITY.md results table updated from {a.summary}")
 
