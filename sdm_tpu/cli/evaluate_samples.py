@@ -105,7 +105,11 @@ def _save_grid(imgs: np.ndarray, path: str, log) -> None:
     log(f"saved generated grid -> {path}")
 
 
-def evaluate_samples(raw_args=None, log=print):
+def evaluate_samples(raw_args=None, log=print, real_cache=None):
+    """Score generated samples against a real set. `real_cache` (an optional
+    dict the caller owns) memoizes the real side's features/stats across
+    repeated in-process calls — a batch of eval variants against the same
+    real set (tools/eval_batch.py) then decodes and featurizes it once."""
     parser = argparse.ArgumentParser(
         description="Score generated samples against a real image set "
                     "(FID / KID).")
@@ -209,15 +213,24 @@ def evaluate_samples(raw_args=None, log=print):
     else:
         if args.real_path is None:
             parser.error("--real-path required (no usable --real-stats cache)")
-        real_paths = _resolve_paths(args.real_path, args.max_real)
         size = args.image_size or gen_imgs.shape[1]
-        real_imgs = _load_images(real_paths, size)
-        log(f"real set: {real_imgs.shape[0]} images "
-            f"{real_imgs.shape[1]}x{real_imgs.shape[2]}")
-        real_feat = extract(real_imgs)
-        real_mu, real_sigma = gaussian_stats(real_feat)
-        n_real = len(real_feat)
-        if args.real_stats:
+        cache_key = (args.real_path, args.max_real, size, feat_name)
+        hit = real_cache.get(cache_key) if real_cache is not None else None
+        if hit is not None:
+            real_feat, real_mu, real_sigma, n_real = hit
+            log(f"real set: in-process cached features ({n_real} images)")
+        else:
+            real_paths = _resolve_paths(args.real_path, args.max_real)
+            real_imgs = _load_images(real_paths, size)
+            log(f"real set: {real_imgs.shape[0]} images "
+                f"{real_imgs.shape[1]}x{real_imgs.shape[2]}")
+            real_feat = extract(real_imgs)
+            real_mu, real_sigma = gaussian_stats(real_feat)
+            n_real = len(real_feat)
+            if real_cache is not None:
+                real_cache[cache_key] = (real_feat, real_mu, real_sigma,
+                                         n_real)
+        if args.real_stats and hit is None:
             np.savez(args.real_stats, mu=real_mu, sigma=real_sigma,
                      n=n_real, features=feat_name)
             log(f"cached real stats -> {args.real_stats}")

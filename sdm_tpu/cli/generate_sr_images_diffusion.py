@@ -109,7 +109,11 @@ def generate_sr_images_diffusion(raw_args=None, log=print, lr_img=None,
         lr_img = cv2.imread(str(lr_img_path))
 
     lr_img = (lr_img.astype(np.float32) - 127.5) / 127.5  # HWC BGR
-    lr_img = jnp.asarray(lr_img)[None]                     # (1,H,W,C)
+    lr_img = jnp.asarray(lr_img)
+    if lr_img.ndim == 3:                                   # (H,W,C) CLI path
+        lr_img = lr_img[None]                              # -> (1,H,W,C)
+    # Programmatic callers may pass a BATCH (N,H,W,C) of [0,255] arrays —
+    # the cascade evaluator samples whole chunks per compiled trajectory.
 
     models_details, folder = load_bundle_config(args["config"])
 

@@ -40,6 +40,18 @@ ROWS = [
     ("distill2_3calls", "eps distilled (ss500)", "DDIM, 3 steps", 3),
     ("eps_ddim2calls", "eps+EMA (teacher)", "DDIM, 2 steps", 2),
     ("distill1_2calls", "eps distilled (ss1000)", "DDIM, 2 steps", 2),
+    ("cold_cold50", "cold (x0)+EMA", "cold sampling, 50 steps", 50),
+    ("cold_cold10", "cold (x0)+EMA", "cold sampling, 10 steps", 10),
+]
+
+# 128² cascade rows score against the held-out HR set (not the 64² real
+# set the main table shares), so they render as their own table.
+SR_ROWS = [
+    ("sr_hr_floor", "—", "real HR half A vs half B (metric floor)", "—"),
+    ("sr_upsample_baseline", "—",
+     "base DDIM-50 samples, plain area upsample to 128²", 50),
+    ("sr_cascade", "eps+EMA → SR(residual-x0)+EMA",
+     "base DDIM-50 → SR cold sampling, 20 steps", 70),
 ]
 
 MARKER = "<!-- RESULTS_TABLE"
@@ -49,27 +61,38 @@ def fmt(v, digits=2):
     return f"{v:.{digits}f}" if isinstance(v, (int, float)) else "—"
 
 
+HEADER = [
+    "| variant | weights | sampler | model calls | FID ↓ | KID ×10³ ↓ |",
+    "|---|---|---|---|---|---|",
+]
+
+
+def _row(name: str, run: str, sampler: str, calls, r: dict) -> str:
+    kid = (f"{r['kid'] * 1e3:.2f} ± {r['kid_std'] * 1e3:.2f}"
+           if "kid" in r else "—")
+    return (f"| {name} | {run} | {sampler} | {calls} | "
+            f"{fmt(r.get('fid'))} | {kid} |")
+
+
 def render(summary: dict) -> str:
     variants = summary.get("variants", {})
-    lines = [
-        "| variant | weights | sampler | model calls | FID ↓ | KID ×10³ ↓ |",
-        "|---|---|---|---|---|---|",
-    ]
+    lines = list(HEADER)
     seen = set()
     for name, run, sampler, calls in ROWS:
         r = variants.get(name)
         if r is None:
             continue
         seen.add(name)
-        kid = (f"{r['kid'] * 1e3:.2f} ± {r['kid_std'] * 1e3:.2f}"
-               if "kid" in r else "—")
-        lines.append(f"| {name} | {run} | {sampler} | {calls} | "
-                     f"{fmt(r.get('fid'))} | {kid} |")
+        lines.append(_row(name, run, sampler, calls, r))
+    sr_lines = []
+    for name, run, sampler, calls in SR_ROWS:
+        r = variants.get(name)
+        if r is None:
+            continue
+        seen.add(name)
+        sr_lines.append(_row(name, run, sampler, calls, r))
     for name in sorted(set(variants) - seen):  # anything ROWS doesn't know
-        r = variants[name]
-        kid = (f"{r['kid'] * 1e3:.2f} ± {r['kid_std'] * 1e3:.2f}"
-               if "kid" in r else "—")
-        lines.append(f"| {name} |  |  |  | {fmt(r.get('fid'))} | {kid} |")
+        lines.append(_row(name, "", "", "", variants[name]))
     meta = [
         "",
         f"{summary.get('steps', '?')} training steps per run; "
@@ -78,6 +101,18 @@ def render(summary: dict) -> str:
         "per row; fixed-seed randconv features (relative ordering is the "
         "claim — see Setup). Raw JSONs + grids: `docs/quality/`.",
     ]
+    if sr_lines:
+        sr_r = variants.get("sr_cascade", {})
+        meta += [
+            "",
+            "**SR cascade at 128²** (scored against the held-out HR "
+            "shapes set):",
+            "",
+        ] + HEADER + sr_lines + [
+            "",
+            f"{sr_r.get('n_generated', '?')} cascade samples vs "
+            f"{sr_r.get('n_real', '?')} real HR images.",
+        ]
     return "\n".join(lines + meta) + "\n"
 
 
@@ -95,6 +130,12 @@ def publish(results_dir: str) -> None:
     for p in sorted(glob.glob(os.path.join(results_dir, "grids", "*.jpg"))):
         shutil.copy2(p, os.path.join(dst, "grids", os.path.basename(p)))
         n += 1
+    curves = sorted(glob.glob(os.path.join(results_dir, "curves", "*")))
+    if curves:
+        os.makedirs(os.path.join(dst, "curves"), exist_ok=True)
+        for p in curves:
+            shutil.copy2(p, os.path.join(dst, "curves", os.path.basename(p)))
+            n += 1
     times = os.path.join(os.path.dirname(results_dir), "stage_times.json")
     if os.path.exists(times):
         shutil.copy2(times, os.path.join(dst, "stage_times.json"))
