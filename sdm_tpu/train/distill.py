@@ -352,17 +352,61 @@ def run_distillation(config_dict: dict, *, teacher_checkpoint: str,
     phase_losses: List[float] = []
     phase_sizes: List[int] = []
     state = None
-    batch_iter = iter(loader)
+    if bool(config_dict.get("device_dataset", False)):
+        # Device-resident batches (config "device_dataset": true — the same
+        # lever as the trainer's fused loop, train/loop.py _run_fused_loop):
+        # the decoded uint8 dataset ships to device memory ONCE and each
+        # step gathers its rows on-device from a host-side permutation
+        # stream, so per-step host->device traffic is an index vector
+        # instead of the pixel batch. On a tunnel-attached device that
+        # transfer dominated the distillation step.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        load_loader = DataLoader(
+            dataset, batch_size=min(512, len(dataset)), shuffle=False,
+            num_workers=8, drop_last=False,
+            native_decode=bool(config_dict.get("native_decode", True)))
+        parts = {}
+        for b in load_loader:
+            for k, v in b.items():
+                if isinstance(v, np.ndarray):
+                    parts.setdefault(k, []).append(v)
+        host_data = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+        n_rows = host_data["image"].shape[0]
+        data_dev = {k: jax.device_put(v, NamedSharding(mesh, P()))
+                    for k, v in host_data.items()}
+        gather_shardings = {
+            k: NamedSharding(mesh, P(*(("data",) + (None,) * (v.ndim - 1))))
+            for k, v in host_data.items()}
+        gather = jax.jit(
+            lambda data, idx: {k: jnp.take(v, idx, axis=0)
+                               for k, v in data.items()},
+            out_shardings=gather_shardings)
+        perm_rng = np.random.default_rng((int(seed) + 0x51ED2705) % 2 ** 63)
+        idx_buf = np.empty((0,), np.int64)
+        log(f"Device-resident dataset: {n_rows:,} rows "
+            f"({sum(v.nbytes for v in host_data.values()) / 2 ** 20:.1f} "
+            "MiB) in device memory.")
 
-    def next_batch():
-        nonlocal batch_iter
-        try:
-            b = next(batch_iter)
-        except StopIteration:
-            batch_iter = iter(loader)
-            b = next(batch_iter)
-        arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
-        return shard_batch(arrays, mesh)
+        def next_batch():
+            nonlocal idx_buf
+            while idx_buf.size < batch_size:
+                idx_buf = np.concatenate(
+                    [idx_buf, perm_rng.permutation(n_rows)])
+            idx, idx_buf = idx_buf[:batch_size], idx_buf[batch_size:]
+            return gather(data_dev, jnp.asarray(idx))
+    else:
+        batch_iter = iter(loader)
+
+        def next_batch():
+            nonlocal batch_iter
+            try:
+                b = next(batch_iter)
+            except StopIteration:
+                batch_iter = iter(loader)
+                b = next(batch_iter)
+            arrays = {k: v for k, v in b.items()
+                      if isinstance(v, np.ndarray)}
+            return shard_batch(arrays, mesh)
 
     global_steps = 0
     for p in range(phases):

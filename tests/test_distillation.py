@@ -539,3 +539,31 @@ def test_distill_uses_ema_teacher_when_asked(tmp_path):
             tmp_path / "out" / "checkpoint" / "plain_0.pt"),
             start_step_size=5, phases=1, steps_per_phase=0,
             use_ema_teacher=True, log=lambda *a, **k: None)
+
+
+def test_distill_device_dataset_path_runs(tmp_path):
+    """Config "device_dataset": true routes distillation through the
+    device-resident batch path (dataset shipped to device memory once,
+    per-step gathers by index — the campaign's distill stage runs with the
+    trainer's fused-loop config): one phase runs with finite losses and
+    writes the same student checkpoint the loader path would."""
+    import glob
+
+    from sdm_tpu.train.loop import run_training, BASE_SPEC
+    from sdm_tpu.train.distill import run_distillation
+    from tests.test_train_loop import _mk_images, _base_config
+
+    _mk_images(tmp_path)
+    cfg = _base_config(tmp_path, skip_step=4, checkpoint_steps=2)
+    run_training(BASE_SPEC, cfg, max_steps=2)
+    teacher = sorted(glob.glob(
+        str(tmp_path / "out" / "checkpoint" / "diffusion_*.pt")))[-1]
+
+    seen = []
+    cfg_dev = dict(cfg, device_dataset=True)
+    res = run_distillation(cfg_dev, teacher_checkpoint=teacher, phases=1,
+                           steps_per_phase=2, log=seen.append)
+    assert np.isfinite(res["phase_losses"][0]).all()
+    assert any("Device-resident dataset" in str(m) for m in seen)
+    assert glob.glob(
+        str(tmp_path / "out" / "checkpoint" / "distilled_ss8_*.pt"))

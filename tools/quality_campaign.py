@@ -523,8 +523,9 @@ def main():
     ap.add_argument("--only", default=None,
                     help="run just this stage (dataset/dataset_doodle/"
                          "dataset_hr/train_eps/cache_probe/train_minsnr/"
-                         "train_v/train_cold/train_doodle/train_sr/distill/"
-                         "export/evals/sr_cascade/demos/family_demos/"
+                         "train_v/distill/export/evals/demos/train_cold/"
+                         "train_doodle/train_sr/export_families/"
+                         "evals_families/sr_cascade/family_demos/"
                          "loss_curves/aggregate)")
     a = ap.parse_args()
     if a.tiny:
@@ -559,6 +560,16 @@ def main():
         ("train_minsnr",
          lambda: stage_train(a, timings, "minsnr", min_snr_gamma=5.0)),
         ("train_v", lambda: stage_train(a, timings, "v", objective="V")),
+        # Evidence-priority ordering: the flagship FID table (distill +
+        # export + evals + extension demos on the eps/minsnr/v trio) lands
+        # BEFORE the family trainings, so a wall-clock cutoff mid-campaign
+        # costs the newest evidence, never the headline table. export/evals
+        # run a second time after the family runs; both are staleness-driven
+        # (mtime chains), so the second pass only does the family rows.
+        ("distill", lambda: stage_distill(a, timings)),
+        ("export", lambda: stage_export(a, timings)),
+        ("evals", lambda: stage_evals(a, timings)),
+        ("demos", lambda: stage_demos(a, timings)),
         ("train_cold",
          lambda: stage_train(a, timings, "cold",
                              entry="train_noise_cold_diffusion.py",
@@ -580,11 +591,9 @@ def main():
                              # 4x the pixels of the base runs: halve the
                              # batch to keep per-step memory in range.
                              batch_size=32 if a.tiny else 64)),
-        ("distill", lambda: stage_distill(a, timings)),
-        ("export", lambda: stage_export(a, timings)),
-        ("evals", lambda: stage_evals(a, timings)),
+        ("export_families", lambda: stage_export(a, timings)),
+        ("evals_families", lambda: stage_evals(a, timings)),
         ("sr_cascade", lambda: stage_sr_cascade(a, timings)),
-        ("demos", lambda: stage_demos(a, timings)),
         ("family_demos", lambda: stage_family_demos(a, timings)),
         ("loss_curves", lambda: stage_loss_curves(a, timings)),
         ("aggregate", lambda: stage_aggregate(a, timings)),
