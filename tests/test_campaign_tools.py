@@ -164,3 +164,46 @@ def test_plateau_stats_flat_vs_falling():
     assert abs(flat["drop_pct"]) < 1e-9
     falling = plateau_stats(list(np.linspace(1.0, 0.1, 20)))
     assert falling["drop_pct"] > 5.0
+
+
+# ---------------------------------------------------------------------------
+# render_quality claims table
+
+def _summary(**fids):
+    return {"steps": 1, "variants": {k: {"fid": v} for k, v in fids.items()}}
+
+
+def test_claims_backed_and_not_backed_from_numbers():
+    """Verdicts are computed, not asserted: a dpmpp-10 row worse than 25%
+    excess over ddim-50 renders 'not backed'; EMA better than raw renders
+    'backed'; both carry the measured numbers inline."""
+    from tools.render_quality import _claims
+    txt = _claims(_summary(
+        real_vs_real=1.0, eps_ddim50=2.0, eps_dpmpp10=3.0,
+        eps_ddim50_noema=2.5))
+    dpmpp_row = [l for l in txt.splitlines() if "dpmpp steps" in l][0]
+    assert "**not backed**" in dpmpp_row
+    assert "3.00" in dpmpp_row and "2.00" in dpmpp_row
+    ema_row = [l for l in txt.splitlines() if "EMA improves" in l][0]
+    assert "**backed**" in ema_row
+
+    # Flip dpmpp within the 25% excess margin: backed.
+    txt2 = _claims(_summary(real_vs_real=1.0, eps_ddim50=2.0,
+                            eps_dpmpp10=2.2))
+    assert "**backed**" in [l for l in txt2.splitlines()
+                            if "dpmpp steps" in l][0]
+
+
+def test_claims_pending_rows_never_guess():
+    from tools.render_quality import _claims
+    txt = _claims(_summary(real_vs_real=1.0))
+    for line in txt.splitlines()[2:]:
+        assert "pending (missing rows:" in line
+
+
+def test_claims_sr_uses_hr_floor_and_ordering():
+    from tools.render_quality import _claims
+    txt = _claims(_summary(sr_hr_floor=1.5, sr_cascade=2.0,
+                           sr_upsample_baseline=4.0))
+    sr_row = [l for l in txt.splitlines() if "SR cascade" in l][0]
+    assert "**backed**" in sr_row and "1.50" in sr_row

@@ -55,6 +55,7 @@ SR_ROWS = [
 ]
 
 MARKER = "<!-- RESULTS_TABLE"
+CLAIMS_MARKER = "<!-- CLAIMS_TABLE"
 
 
 def fmt(v, digits=2):
@@ -116,6 +117,127 @@ def render(summary: dict) -> str:
     return "\n".join(lines + meta) + "\n"
 
 
+def _claims(summary: dict) -> str:
+    """Compute the QUALITY.md "Claims tested" verdicts from the measured
+    rows. Comparisons use excess FID over the real_vs_real floor (FID is not
+    absolute under the randconv features; the floor is the scale), except
+    where the claim itself is a plain ordering. A claim whose rows are
+    missing renders as pending — verdicts never guess."""
+    variants = summary.get("variants", {})
+
+    def fid(name):
+        r = variants.get(name)
+        return r.get("fid") if r else None
+
+    floor = fid("real_vs_real")
+
+    def excess(name):
+        f = fid(name)
+        return None if (f is None or floor is None) else f - floor
+
+    def show(name):
+        f = fid(name)
+        return "?" if f is None else f"{f:.2f}"
+
+    rows = []
+
+    def add(claim, verdict):
+        rows.append(f"| {claim} | {verdict} |")
+
+    def pending(*names):
+        missing = [n for n in names if fid(n) is None]
+        if missing or floor is None:
+            return ("pending (missing rows: "
+                    + ", ".join(missing + ([] if floor is not None
+                                           else ["real_vs_real"])) + ")")
+        return None
+
+    # ~10 dpmpp steps reach ddim-50 quality: excess FID within 25%.
+    p = pending("eps_dpmpp10", "eps_ddim50")
+    if p is None:
+        ok = excess("eps_dpmpp10") <= 1.25 * excess("eps_ddim50")
+        p = (f"{'**backed**' if ok else '**not backed** at 64²'}: "
+             f"dpmpp-10 FID {show('eps_dpmpp10')} vs ddim-50 "
+             f"{show('eps_ddim50')} (floor {floor:.2f}; backed = excess "
+             "over floor within 25%)")
+    add("~10 dpmpp steps reach ddim-50 quality", p)
+
+    # Karras spacing at low step counts, 2nd-order solvers.
+    p = pending("eps_dpmpp10", "eps_dpmpp10_karras",
+                "eps_heun10", "eps_heun10_karras")
+    if p is None:
+        wins = [fid("eps_dpmpp10_karras") < fid("eps_dpmpp10"),
+                fid("eps_heun10_karras") < fid("eps_heun10")]
+        word = ("**backed**" if all(wins) else
+                "**mixed**" if any(wins) else "**not backed** at 64²")
+        p = (f"{word}: dpmpp-10 {show('eps_dpmpp10')} → Karras "
+             f"{show('eps_dpmpp10_karras')}; heun-10 {show('eps_heun10')} "
+             f"→ Karras {show('eps_heun10_karras')}")
+    add("Karras spacing improves few-step 2nd-order sampling", p)
+
+    # EMA at convergence.
+    p = pending("eps_ddim50", "eps_ddim50_noema")
+    if p is None:
+        ok = fid("eps_ddim50") < fid("eps_ddim50_noema")
+        p = (f"{'**backed**' if ok else '**not backed** at 64²'}: ddim-50 "
+             f"EMA {show('eps_ddim50')} vs raw {show('eps_ddim50_noema')}")
+    add("EMA improves sample quality at convergence", p)
+
+    # min-SNR-γ weighting.
+    p = pending("minsnr_ddim50", "eps_ddim50")
+    if p is None:
+        ok = fid("minsnr_ddim50") < fid("eps_ddim50")
+        p = (f"{'**backed**' if ok else '**not backed** at 64²'}: "
+             f"min-SNR-5 {show('minsnr_ddim50')} vs uniform "
+             f"{show('eps_ddim50')} (both ddim-50+EMA)")
+    add("min-SNR-γ improves over uniform MSE weighting", p)
+
+    # v-parameterization comparable quality: excess within 50%.
+    p = pending("v_ddim50", "eps_ddim50")
+    if p is None:
+        ok = excess("v_ddim50") <= 1.5 * excess("eps_ddim50")
+        p = (f"{'**backed**' if ok else '**not backed** at 64²'}: "
+             f"v {show('v_ddim50')} vs eps {show('eps_ddim50')} (floor "
+             f"{floor:.2f}; comparable = excess within 50%)")
+    add("v-parameterization trains to comparable quality", p)
+
+    # Distilled students approach teacher quality: beat the undistilled
+    # teacher at the same call count AND keep excess within 2x of the
+    # teacher's ddim-50 headline.
+    p = pending("distill1_2calls", "distill2_3calls",
+                "eps_ddim2calls", "eps_ddim3calls", "eps_ddim50")
+    if p is None:
+        beat = [fid("distill1_2calls") < fid("eps_ddim2calls"),
+                fid("distill2_3calls") < fid("eps_ddim3calls")]
+        near = excess("distill2_3calls") <= 2.0 * excess("eps_ddim50")
+        word = ("**backed**" if all(beat) and near else
+                "**mixed**" if any(beat) else "**not backed** at 64²")
+        p = (f"{word}: 2-call student {show('distill1_2calls')} vs teacher "
+             f"{show('eps_ddim2calls')}; 3-call {show('distill2_3calls')} "
+             f"vs {show('eps_ddim3calls')}; teacher ddim-50 "
+             f"{show('eps_ddim50')}")
+    add("distilled 2-3-call students approach teacher quality", p)
+
+    # SR cascade vs plain upsampling (scored against the held-out HR set).
+    sr_floor = fid("sr_hr_floor")
+    missing = [n for n in ("sr_cascade", "sr_upsample_baseline")
+               if fid(n) is None]
+    if missing or sr_floor is None:
+        p = ("pending (missing rows: " + ", ".join(
+            missing + ([] if sr_floor is not None else ["sr_hr_floor"]))
+            + ")")
+    else:
+        ok = fid("sr_cascade") < fid("sr_upsample_baseline")
+        p = (f"{'**backed**' if ok else '**not backed**'}: cascade "
+             f"{show('sr_cascade')} vs plain upsample "
+             f"{show('sr_upsample_baseline')} at 128² (HR floor "
+             f"{sr_floor:.2f})")
+    add("SR cascade beats plain upsampling at 128²", p)
+
+    return "\n".join(["| claim (from README/TODO) | verdict |", "|---|---|"]
+                     + rows) + "\n"
+
+
 def publish(results_dir: str) -> None:
     """Copy the campaign's durable artifacts (result JSONs, sample grids,
     stage wall-clock record) from the workdir into docs/quality/ so they
@@ -156,26 +278,30 @@ def main():
     if a.publish:
         publish(os.path.dirname(os.path.abspath(a.summary)))
     table = render(summary)
+    claims = _claims(summary)
     if not a.write:
         print(table)
+        print(claims)
         return
     qpath = os.path.join(REPO, "QUALITY.md")
     text = open(qpath).read()
-    try:
-        start = text.index(MARKER)
-    except ValueError:
-        raise SystemExit(
-            f"QUALITY.md is missing the results-table marker {MARKER!r} — "
-            "restore it (comment line above the results section) so --write "
-            "knows where to patch")
-    start = text.index("\n", start) + 1  # keep the marker line
-    # Patch up to the next section heading, or to end-of-file when the
-    # marker sits in the last section.
-    end = text.find("\n## ", start)
-    if end == -1:
-        end = len(text)
-    open(qpath, "w").write(text[:start] + "\n" + table + text[end:])
-    print(f"QUALITY.md results table updated from {a.summary}")
+    for marker, block in ((MARKER, table), (CLAIMS_MARKER, claims)):
+        try:
+            start = text.index(marker)
+        except ValueError:
+            raise SystemExit(
+                f"QUALITY.md is missing the marker {marker!r} — restore it "
+                "(comment line above the section) so --write knows where "
+                "to patch")
+        start = text.index("\n", start) + 1  # keep the marker line
+        # Patch up to the next section heading, or to end-of-file when the
+        # marker sits in the last section.
+        end = text.find("\n## ", start)
+        if end == -1:
+            end = len(text)
+        text = text[:start] + "\n" + block + text[end:]
+    open(qpath, "w").write(text)
+    print(f"QUALITY.md results + claims tables updated from {a.summary}")
 
 
 if __name__ == "__main__":
