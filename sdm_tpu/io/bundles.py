@@ -24,6 +24,45 @@ from sdm_tpu.io.checkpoint import load_checkpoint
 from sdm_tpu.io.torch_interop import torch_state_dict_to_params
 
 
+# Most-recent-bundle param cache. A batch of eval variants over the same
+# bundle (tools/eval_batch.py: ddim-50 / ddim-10 / 2-call / ... rows all
+# load the eps bundle) otherwise pays the full torch.load (the exported .pt
+# carries optimizer moments — GBs from disk), the HWIO conversion, and the
+# host->device transfer once PER VARIANT. Keyed on file identity
+# (path, mtime_ns, size) plus the load parameters that change the resulting
+# tree; capped at ONE entry so at most one stale bundle's params stay
+# resident (sampling never mutates or donates param buffers, so sharing the
+# tree across calls is safe).
+_PARAM_CACHE: dict = {}
+
+
+def _load_params_cached(model_path: str, param_key: str, dtype,
+                        cast_params: bool, model_name: str):
+    st = os.stat(model_path)
+    key = (os.path.abspath(model_path), st.st_mtime_ns, st.st_size,
+           param_key, str(dtype) if (cast_params and dtype is not None)
+           else None)
+    if key in _PARAM_CACHE:
+        return _PARAM_CACHE[key]
+    ok, ckpt = load_checkpoint(model_path, log=lambda *a, **k: None)
+    if not ok:
+        raise Exception("Failed to load model!")
+    if param_key != "model" and param_key not in ckpt:
+        raise ValueError(
+            f"checkpoint {model_name} has no '{param_key}' "
+            "weights (was it trained with ema_decay set?)")
+    params = jax.tree.map(jnp.asarray,
+                          torch_state_dict_to_params(ckpt[param_key]))
+    if cast_params and dtype is not None:
+        params = jax.tree.map(
+            lambda p: (p.astype(dtype)
+                       if jnp.issubdtype(p.dtype, jnp.floating) else p),
+            params)
+    _PARAM_CACHE.clear()
+    _PARAM_CACHE[key] = params
+    return params
+
+
 def load_bundle_config(config_path: str) -> Tuple[dict, str]:
     with open(config_path, "r") as f:
         models_details = json.load(f)
@@ -73,20 +112,8 @@ def build_model_from_bundle(model_dict: dict, bundle_folder: str, *,
     if not os.path.isfile(model_path):
         raise FileNotFoundError(
             "Invalid path for model in json file, kindly correct and try again!")
-    ok, ckpt = load_checkpoint(model_path, log=lambda *a, **k: None)
-    if not ok:
-        raise Exception("Failed to load model!")
-    if param_key != "model" and param_key not in ckpt:
-        raise ValueError(
-            f"checkpoint {model_dict['model_name']} has no '{param_key}' "
-            "weights (was it trained with ema_decay set?)")
-    params = jax.tree.map(jnp.asarray,
-                          torch_state_dict_to_params(ckpt[param_key]))
-    if cast_params and dtype is not None:
-        params = jax.tree.map(
-            lambda p: (p.astype(dtype)
-                       if jnp.issubdtype(p.dtype, jnp.floating) else p),
-            params)
+    params = _load_params_cached(model_path, param_key, dtype, cast_params,
+                                 model_dict["model_name"])
 
     # Callers must pass `params` as a jit ARGUMENT and build the model fn
     # inside the jitted function via model_fn_factory(p). Closing over the

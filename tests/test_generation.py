@@ -8,6 +8,7 @@ exactly what a reference user would have on disk.
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pytest
@@ -414,3 +415,52 @@ def test_cold_generator_karras(tmp_path):
     assert uni.shape == kar.shape == (2, 16, 16, 3)
     assert np.isfinite(kar).all()
     assert np.abs(kar - uni).max() > 1e-7
+
+
+def test_bundle_param_cache_skips_reload_and_invalidates(tmp_path,
+                                                         monkeypatch):
+    """The most-recent-bundle param cache (io/bundles.py): a second
+    build_model_from_bundle on the same unchanged checkpoint must not
+    torch.load again (eval_batch runs many variants per bundle); rewriting
+    the checkpoint must invalidate."""
+    import sdm_tpu.io.bundles as bundles
+    from sdm_tpu.io.bundles import build_model_from_bundle, \
+        load_bundle_config
+
+    _, ckpt = _save_ref_ckpt(tmp_path, "cachem.pt")
+    bundle = export_bundle("cachem", str(tmp_path), img_c=3, img_h=16,
+                           img_w=16, model_type="BASE",
+                           entries=[(_train_cfg(1, 10), ckpt)])
+    models, folder = load_bundle_config(os.path.join(bundle, "config.json"))
+    md = models["models"][0]
+
+    calls = {"n": 0}
+    real = bundles.load_checkpoint
+
+    def counting(path, log=print):
+        calls["n"] += 1
+        return real(path, log=log)
+
+    monkeypatch.setattr(bundles, "load_checkpoint", counting)
+    bundles._PARAM_CACHE.clear()
+    _, _, _, p1 = build_model_from_bundle(md, folder, max_T=10)
+    _, _, _, p2 = build_model_from_bundle(md, folder, max_T=10)
+    assert calls["n"] == 1
+    assert all(a is b for a, b in zip(jax.tree.leaves(p1),
+                                      jax.tree.leaves(p2)))
+    # Different load parameters -> different tree -> new load.
+    _, _, _, p3 = build_model_from_bundle(md, folder, max_T=10,
+                                          dtype=jnp.bfloat16,
+                                          cast_params=True)
+    assert calls["n"] == 2
+    assert jax.tree.leaves(p3)[0].dtype == jnp.bfloat16
+
+    # Rewriting the bundle's model file invalidates the cache (export
+    # copies the checkpoint INTO the bundle, so overwrite that copy).
+    _, fresh = _save_ref_ckpt(tmp_path, "cachem.pt", seed=1)
+    shutil.copyfile(fresh, os.path.join(folder, md["model_name"]))
+    _, _, _, p4 = build_model_from_bundle(md, folder, max_T=10)
+    assert calls["n"] == 3
+    leaf1 = np.asarray(jax.tree.leaves(p1)[0], np.float32)
+    leaf4 = np.asarray(jax.tree.leaves(p4)[0], np.float32)
+    assert not np.array_equal(leaf1, leaf4)
