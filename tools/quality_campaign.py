@@ -573,7 +573,10 @@ def main():
         ("train_cold",
          lambda: stage_train(a, timings, "cold",
                              entry="train_noise_cold_diffusion.py",
-                             steps=a.family_steps)),
+                             # Tanh head — the reference's intended cold
+                             # configuration (create_diffusion_config.py:199
+                             # "Use Tanh: for cold diffusion").
+                             steps=a.family_steps, img_recon=True)),
         ("train_doodle",
          lambda: stage_train(a, timings, "doodle",
                              entry="train_doodle_diffusion.py",
