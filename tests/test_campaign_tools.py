@@ -207,3 +207,53 @@ def test_claims_sr_uses_hr_floor_and_ordering():
                            sr_upsample_baseline=4.0))
     sr_row = [l for l in txt.splitlines() if "SR cascade" in l][0]
     assert "**backed**" in sr_row and "1.50" in sr_row
+
+
+def test_family_demos_tool_runs_on_tiny_bundles(tmp_path, monkeypatch):
+    """tools/family_demos.py end-to-end on tiny cold/doodle bundles: both
+    demo grids render. Pins the jit-argument param contract (closing over
+    real-size params would overflow remote-compile requests) and the
+    bundle-T generalization."""
+    import cv2
+    import torch
+
+    from sdm_tpu.cli.export_models import export_bundle
+    from tests.test_generation import _train_cfg, REF
+
+    wd = tmp_path
+    (wd / "shapes").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        cv2.imwrite(str(wd / "shapes" / f"s_{i}.jpg"),
+                    rng.integers(0, 256, (16, 16, 3), dtype=np.uint8))
+
+    def save(name, in_ch, img_recon):
+        torch.manual_seed(0)
+        net = REF.U_Net(in_channel=in_ch, out_channel=3, num_layers=2,
+                        num_resnet_blocks=1, attn_layers=[1], num_heads=1,
+                        dim_per_head=None, time_dim=16, cond_dim=None,
+                        min_channel=32, max_channel=64,
+                        image_recon=img_recon)
+        p = str(wd / f"{name}.pt")
+        sd = net.state_dict()
+        torch.save({"model": sd, "ema": sd}, p)
+        return p
+
+    exports = str(wd / "exports")
+    export_bundle("cold", exports, img_c=3, img_h=16, img_w=16,
+                  model_type="BASE-COLD",
+                  entries=[(_train_cfg(1, 10, img_recon=True),
+                            save("cold", 3, True))])
+    export_bundle("doodle", exports, img_c=3, img_h=16, img_w=16,
+                  model_type="BASE",
+                  entries=[(_train_cfg(1, 10, in_channel=6),
+                            save("doodle", 6, False))])
+
+    import tools.family_demos as fd
+    monkeypatch.setattr(sys, "argv",
+                        ["family_demos", "--workdir", str(wd),
+                         "--rows", "2"])
+    fd.main()
+    grids = wd / "results" / "grids"
+    assert (grids / "cold_recon.jpg").exists()
+    assert (grids / "doodle_steering.jpg").exists()

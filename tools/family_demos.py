@@ -58,10 +58,10 @@ def cold_recon_grid(workdir: str, grids: str, n_rows: int, seed: int):
 
     models_details, folder = load_bundle_config(cfg)
     md = models_details["models"][0]
+    T = int(md["max_noise"])
     model_fn_factory, schedule, _, params = build_model_from_bundle(
-        md, folder, max_T=1000, dtype=jnp.bfloat16, cast_params=True,
+        md, folder, max_T=T, dtype=jnp.bfloat16, cast_params=True,
         param_key="ema")
-    model_fn = model_fn_factory(params)
 
     imgs = np.stack([
         (cv2.imread(p).astype(np.float32) - 127.5) / 127.5
@@ -72,16 +72,19 @@ def cold_recon_grid(workdir: str, grids: str, n_rows: int, seed: int):
 
     cells = []
     recon = {}
-    for t in (500, 1000):
+    ts = (T // 2, T)
+    for t in ts:
         x_t = schedule.q_sample(x0, jnp.array([t]), noise)
-        rec = jax.jit(lambda xt: cold_sample(
-            model_fn, schedule, xt, noise,
+        # params as a jit ARGUMENT — closing over them would embed the
+        # checkpoint as HLO constants (io/bundles.py factory contract).
+        rec = jax.jit(lambda p, xt, t=t: cold_sample(
+            model_fn_factory(p), schedule, xt, noise,
             min_noise=md["min_noise"], max_noise=t,
-            skip_step_size=20))(x_t)
+            skip_step_size=20))(params, x_t)
         recon[t] = (np.asarray(x_t), np.asarray(rec))
     for i in range(len(imgs)):
-        cells += [imgs[i], recon[500][0][i], recon[500][1][i],
-                  recon[1000][0][i], recon[1000][1][i]]
+        cells += [imgs[i], recon[ts[0]][0][i], recon[ts[0]][1][i],
+                  recon[ts[1]][0][i], recon[ts[1]][1][i]]
     _save_grid(np.clip(np.stack(cells), -1, 1), out, print)
 
 
