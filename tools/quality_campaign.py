@@ -570,6 +570,24 @@ def main():
         ("export", lambda: stage_export(a, timings)),
         ("evals", lambda: stage_evals(a, timings)),
         ("demos", lambda: stage_demos(a, timings)),
+        # SR first among the families: the cascade is the reference's
+        # headline capability (README.md:164), so it must survive a
+        # wall-clock cutoff ahead of the cold/doodle demos.
+        ("train_sr",
+         lambda: stage_train(a, timings, "sr",
+                             entry="train_SR_diffusion.py",
+                             steps=a.family_steps,
+                             dataset_path=os.path.join(a.workdir,
+                                                       "shapes_hr", "*.jpg"),
+                             lr_dim=size, sr_dim=2 * size, cond_t=250,
+                             in_channel=6, img_recon=True,
+                             # 4x the pixels of the base runs: halve the
+                             # batch to keep per-step memory in range.
+                             batch_size=32 if a.tiny else 64)),
+        # Export + score the cascade immediately (both staleness-driven, so
+        # the later family passes skip what is already fresh).
+        ("export_sr", lambda: stage_export(a, timings)),
+        ("sr_cascade_early", lambda: stage_sr_cascade(a, timings)),
         ("train_cold",
          lambda: stage_train(a, timings, "cold",
                              entry="train_noise_cold_diffusion.py",
@@ -583,17 +601,6 @@ def main():
                              steps=a.family_steps, in_channel=6,
                              dataset_path=os.path.join(a.workdir,
                                                        "doodle_db.json"))),
-        ("train_sr",
-         lambda: stage_train(a, timings, "sr",
-                             entry="train_SR_diffusion.py",
-                             steps=a.family_steps,
-                             dataset_path=os.path.join(a.workdir,
-                                                       "shapes_hr", "*.jpg"),
-                             lr_dim=size, sr_dim=2 * size, cond_t=250,
-                             in_channel=6, img_recon=True,
-                             # 4x the pixels of the base runs: halve the
-                             # batch to keep per-step memory in range.
-                             batch_size=32 if a.tiny else 64)),
         ("export_families", lambda: stage_export(a, timings)),
         ("evals_families", lambda: stage_evals(a, timings)),
         ("sr_cascade", lambda: stage_sr_cascade(a, timings)),
