@@ -18,8 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Runnable as `python tools/eval_batch.py` from the repo root: the script
+# dir (tools/) is sys.path[0], so the package needs the root added.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
