@@ -191,6 +191,15 @@ def stage_dataset_hr(a, timings):
 def stage_train(a, timings, name: str, entry: str = "train_diffusion.py",
                 steps: int = None, **over):
     steps = a.steps if steps is None else steps
+    if not a.tiny:
+        # --batch scales every run's batch (the tiny path keeps its own).
+        over.setdefault("batch_size", a.batch)
+        # Keep the PER-IMAGE learning rate at the proven b128 @ 1e-4 point
+        # (linear scaling). Measured on the chip this round: b64 @ 1e-4
+        # (2x the per-image rate) diverged at ~step 1200 straight through
+        # grad_clip_norm=1.0 — the documented lr >~ 1e-4 Adam(0.5, 0.999)
+        # instability — while the halved rate is stable.
+        over.setdefault("diffusion_lr", 1e-4 * over["batch_size"] / 128.0)
     cfg = flagship_config(a.workdir, name, tiny=a.tiny, steps=steps, **over)
     cfg_path = os.path.join(a.workdir, f"{name}.json")
     # Resume-to-target: a checkpoint short of --steps resumes (full Adam +
@@ -511,6 +520,11 @@ def main():
     ap.add_argument("--distill-steps", type=int, default=2_000,
                     help="optimizer steps per distillation phase")
     ap.add_argument("--dataset-n", type=int, default=8_000)
+    ap.add_argument("--batch", type=int, default=128,
+                    help="training batch for the 64x64 runs (the SR stage "
+                         "uses half of it); smaller batches trade MFU for "
+                         "more optimizer updates per wall-hour on this "
+                         "single chip")
     ap.add_argument("--eval-n", type=int, default=2_048)
     ap.add_argument("--eval-batch", type=int, default=256)
     ap.add_argument("--max-real", type=int, default=4_096)
@@ -583,7 +597,8 @@ def main():
                              in_channel=6, img_recon=True,
                              # 4x the pixels of the base runs: halve the
                              # batch to keep per-step memory in range.
-                             batch_size=32 if a.tiny else 64)),
+                             batch_size=32 if a.tiny
+                             else max(a.batch // 2, 16))),
         # Export + score the cascade immediately (both staleness-driven, so
         # the later family passes skip what is already fresh).
         ("export_sr", lambda: stage_export(a, timings)),
