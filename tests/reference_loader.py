@@ -7,10 +7,33 @@ modules; torchvision is not installed here, so a stub module is inserted
 reference for *comparison only* — no reference code is copied into sdm_tpu.
 """
 
+import importlib.util
+import os
 import sys
 import types
 
 REFERENCE_PATH = "/root/reference"
+
+
+def load_reference_module(name: str):
+    """Import /root/reference/<name>.py by FILE PATH under an unambiguous
+    sys.modules key. By-name imports (importlib.import_module) are fragile
+    here: the repo root carries entry-point shims with the same names as
+    the reference's scripts, so any code that prepends the repo root to
+    sys.path at runtime (the tools/ drivers do) would shadow the reference
+    and break the golden-parity tests."""
+    _ensure_stubs()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)  # for the module's own imports
+    key = "_reference_" + name
+    if key in sys.modules:
+        return sys.modules[key]
+    spec = importlib.util.spec_from_file_location(
+        key, os.path.join(REFERENCE_PATH, name + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[key] = mod
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _ensure_stubs():

@@ -92,8 +92,8 @@ def test_ddim_generator_parity_ensemble(tmp_path, monkeypatch):
 
 
 def REF_generate(config, n, alg, step):
-    import importlib
-    gen_mod = importlib.import_module("generate_images_diffusion")
+    from tests.reference_loader import load_reference_module
+    gen_mod = load_reference_module("generate_images_diffusion")
     out = gen_mod.generate_images_diffusion(
         ["-c", config, "-n", str(n), "--diff_alg", alg,
          "--ddim_step_size", str(step)],
@@ -120,8 +120,8 @@ def test_cold_generator_parity_ensemble(tmp_path, monkeypatch):
     noise = rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
     _patch_noise(monkeypatch, noise)
 
-    import importlib
-    gen_mod = importlib.import_module("generate_images_cold_diffusion")
+    from tests.reference_loader import load_reference_module
+    gen_mod = load_reference_module("generate_images_cold_diffusion")
     theirs = gen_mod.generate_images_cold_diffusion(
         ["-c", config, "-n", "2", "--cold_step_size", "4"],
         log=lambda *a, **k: None, save_locally=False)
@@ -164,8 +164,8 @@ def test_sr_generator_parity(tmp_path, monkeypatch):
     lr_img_u8 = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
     _patch_noise(monkeypatch, noise)
 
-    import importlib
-    gen_mod = importlib.import_module("generate_sr_images_diffusion")
+    from tests.reference_loader import load_reference_module
+    gen_mod = load_reference_module("generate_sr_images_diffusion")
     theirs = gen_mod.generate_sr_images_diffusion(
         ["-c", config, "--cold_step_size", "4"],
         log=lambda *a, **k: None, lr_img=lr_img_u8, save_locally=False)

@@ -57,7 +57,17 @@ def main():
                          "dataset stage first")
     src = shapes[0]
 
+    import json
+    m0 = json.load(open(cfg))["models"][0]
+    h, w = int(m0["img_H"]), int(m0["img_W"])
     img = cv2.imread(src)
+    if img.shape[:2] != (h, w):
+        # Dataset resolution can differ from the bundle's (e.g. the tiny
+        # plumbing campaign trains 32x32 models on the 64x64 shapes set) —
+        # the demo drives the MODEL, so resize the source to its grid.
+        img = cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+        src = os.path.join(a.workdir, "demo_source_model_res.png")
+        cv2.imwrite(src, img)
     _save_grid(((img[None].astype(np.float32) - 127.5) / 127.5),
                os.path.join(grids, "demo_source.jpg"), print)
     # Mask convention (generator --inpaint_mask_path): >= 128 KEPT from the
