@@ -80,10 +80,15 @@ def flagship_config(workdir: str, name: str, *, tiny: bool, steps: int,
         compute_dtype="bfloat16", seed=11,
         ema_decay=0.999, grad_clip_norm=1.0,
         # Checkpoint hygiene on this host (VERDICT r4 weak #4): the device->
-        # host parameter fetch costs ~7 min over the tunnel, so save rarely
-        # (every ~100 epochs as a crash net) and on the async worker thread.
-        epoch_checkpoint_every=100,
-        async_checkpoint=True,
+        # host parameter fetch costs minutes over the tunnel, so save rarely
+        # (one mid-run crash net per 32k-step run) and SYNCHRONOUSLY —
+        # measured this round, submitting an async snapshot while chunks
+        # are in flight can wedge the tunnel client (train_eps hung 20 min
+        # at its second async save; a neighbor client hung during another
+        # run's big fetch). A sync save pauses the loop ~4 min but leaves
+        # exactly one RPC pattern in flight.
+        epoch_checkpoint_every=200,
+        async_checkpoint=False,
         # Decode the 8k-image dataset once per process, not once per epoch.
         cache_dataset=True,
         # Fused device-resident training (train/loop.py _run_fused_loop):
@@ -266,7 +271,11 @@ def stage_distill(a, timings):
         "--teacher-checkpoint", teacher, "--use-ema-teacher",
         "--start-step-size", "125", "--phases", "3",
         "--steps-per-phase", str(a.distill_steps),
-        "--distill-lr", "5e-5"],
+        # Same per-image LR scaling as the trainings (see stage_train):
+        # 5e-5 at batch 128. Unscaled, the batch-64 run's phase-3 loss rose
+        # 0.13 -> 0.44 and the students scored FID 72-112 vs the teacher's
+        # 0.9-2.0 at the same call counts.
+        "--distill-lr", str(5e-5 * (32 if a.tiny else a.batch) / 128.0)],
        os.path.join(a.workdir, "logs", "distill.log"), timings, "distill")
 
 
